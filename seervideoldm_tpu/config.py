@@ -1,0 +1,154 @@
+"""YAML configuration loader, key-compatible with the reference configs.
+
+The reference loads flat YAML files with OmegaConf and treats the result as
+an argparse namespace (reference ``train.py:437-442``).  We accept the same
+YAML files/keys verbatim, layering them over typed defaults, and additionally
+support dotted-key CLI overrides (``--set key=value``).
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import yaml
+
+
+@dataclass
+class Config:
+    """Flat config namespace covering every key the reference YAMLs use.
+
+    Reference key sources: ``configs/{train,inference,inference_base,eval}.yaml``.
+    Unknown keys found in a YAML are attached dynamically so downstream code
+    can still read them.
+    """
+
+    # --- model / pretrained ---
+    pretrained_model_name_or_path: Optional[str] = None
+    fstext_init_ckpt: Optional[str] = None
+    tokenizer_path: Optional[str] = None  # local CLIP BPE vocab/merges dir
+
+    # --- data ---
+    dataset: str = "sthv2"
+    dataset_path: Optional[str] = None
+    resolution: int = 256
+    cond_frames: int = 2
+    num_frames: int = 12
+    center_crop: bool = True
+    dataloader_num_workers: int = 4
+
+    # --- training ---
+    output_dir: str = "outputs/run"
+    seed: int = 0
+    train_batch_size: int = 1
+    val_batch_size: int = 1
+    gradient_accumulation_steps: int = 2
+    learning_rate: float = 1.28e-5
+    scale_lr: bool = True
+    lr_scheduler: str = "cosine"
+    lr_warmup_steps: int = 10000
+    max_train_steps: int = 200000
+    num_train_epochs: int = 10000
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.999
+    adam_weight_decay: float = 1e-2
+    adam_epsilon: float = 1e-8
+    max_grad_norm: float = 0.3
+    mixed_precision: str = "bf16"  # reference default fp16; bf16 on TPU
+    use_8bit_adam: bool = False
+    gradient_checkpointing: bool = False
+    save_steps: int = 1000
+    saved_global_step: Optional[int] = None
+    text_loss: bool = False
+    push_to_hub: bool = False
+    logging_dir: str = "logs"
+
+    # --- sampling ---
+    ddim_steps: int = 30
+    scale: float = 7.5  # classifier-free guidance scale
+    num_samples: int = 1
+    sample_iter: int = 1
+    n_rows: int = 2
+    image_path: Optional[str] = None
+    input_text_prompts: Optional[str] = None
+    learned_unet_ckpt: Optional[str] = None
+
+    # --- eval ---
+    compute_fvd: bool = True
+    MAX_FVD_BATCH: int = 32
+    compute_is: bool = False
+    MAX_IS_BATCH: int = 100
+    i3d_ckpt: Optional[str] = None
+    c3d_ckpt: Optional[str] = None
+
+    # --- TPU / parallelism (new) ---
+    mesh_shape: Optional[dict] = None  # e.g. {"data": 8} or {"data": 4, "model": 2}
+    param_dtype: str = "float32"
+    compute_dtype: str = "bfloat16"
+    use_pallas_attention: bool = True
+    remat: bool = False
+    donate_latents: bool = True
+
+    # Dynamic bag for unknown YAML keys.
+    extras: dict = field(default_factory=dict)
+
+    def __getattr__(self, name: str) -> Any:
+        extras = object.__getattribute__(self, "extras") if "extras" in self.__dict__ else {}
+        if name in extras:
+            return extras[name]
+        raise AttributeError(name)
+
+    def get(self, name: str, default: Any = None) -> Any:
+        try:
+            return getattr(self, name)
+        except AttributeError:
+            return default
+
+
+_FIELDS = {f.name for f in dataclasses.fields(Config)}
+
+
+def _coerce(value: str) -> Any:
+    """Parse a CLI override value with YAML semantics (``1`` -> int, etc.)."""
+    return yaml.safe_load(value)
+
+
+def load_config(path: str, overrides: Optional[list[str]] = None) -> Config:
+    """Load a flat YAML config, applying ``key=value`` overrides."""
+    with open(path) as f:
+        raw = yaml.safe_load(f) or {}
+    cfg = Config()
+    for key, value in raw.items():
+        if key in _FIELDS:
+            setattr(cfg, key, value)
+        else:
+            cfg.extras[key] = value
+    for item in overrides or []:
+        key, _, value = item.partition("=")
+        if key in _FIELDS:
+            setattr(cfg, key, _coerce(value))
+        else:
+            cfg.extras[key] = _coerce(value)
+    return cfg
+
+
+def parse_args(description: str, extra_flags: Optional[dict] = None) -> Config:
+    """Reference-compatible CLI: ``<script>.py --config ./configs/x.yaml``.
+
+    ``extra_flags`` maps flag name -> default for script-specific flags
+    (e.g. ``--image_path`` in inference_img, reference ``inference_img.py:189-198``).
+    """
+    parser = argparse.ArgumentParser(description=description)
+    parser.add_argument("--config", type=str, required=True)
+    parser.add_argument("--set", dest="overrides", action="append", default=[],
+                        help="dotted-key overrides, e.g. --set ddim_steps=50")
+    for flag, default in (extra_flags or {}).items():
+        parser.add_argument(f"--{flag}", type=str, default=default)
+    ns = parser.parse_args()
+    cfg = load_config(ns.config, ns.overrides)
+    for flag in (extra_flags or {}):
+        value = getattr(ns, flag)
+        if value is not None:
+            setattr(cfg, flag, value) if flag in _FIELDS else cfg.extras.__setitem__(flag, value)
+    return cfg

@@ -1,0 +1,108 @@
+"""DDIM video sampler as a single jitted ``lax.scan``.
+
+Replaces the reference's Python hot loop (``ldm/models/diffusion/
+ddim_video.py:135-238``) with a scan whose carry is the latent video —
+the UNet is traced/compiled exactly once for all steps, and the carry is
+donated by callers that jit this function.
+
+Semantics preserved from the reference ``p_sample_ddim``:
+
+- the clean conditioning-frame latents ``x0_emb`` are concatenated on the
+  frame axis before every UNet call and the predicted noise for those
+  frames is sliced back off (``ddim_video.py:187-210``);
+- classifier-free guidance batches ``[uncond; cond]`` through one UNet call
+  (``ddim_video.py:201-204``);
+- the DDIM update ``x_prev = sqrt(ᾱ_prev)·pred_x0 + dir_xt + σ·noise``
+  (``ddim_video.py:229-237``);
+- ``cond_frame`` defaults to 0 during sampling — the reference's sampling
+  wrapper never forwards it (``utils/ddim_sampling_utils.py:25-36``), so the
+  temporal-FF cond-frame skip is active only in training.  Exposed here for
+  callers that want the "fixed" behavior.
+
+Layout: channels-last latents ``(b, f, h, w, c)``.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .schedules import DDIMTables
+
+UNetApply = Callable[..., jnp.ndarray]
+# unet_apply(x, timesteps, context, cond_frame) -> eps, with
+#   x: (b, f, h, w, c) latents, timesteps: (b,) int32,
+#   context: (b, f_ctx, l, d) FSText embeddings.
+
+
+def ddim_sample_loop(
+    unet_apply: UNetApply,
+    x_T: jnp.ndarray,
+    tables: DDIMTables,
+    context: jnp.ndarray,
+    x0_emb: Optional[jnp.ndarray] = None,
+    uncond_context: Optional[jnp.ndarray] = None,
+    guidance_scale: float = 1.0,
+    cond_frame: int = 0,
+    eta_noise_key: Optional[jax.Array] = None,
+    temperature: float = 1.0,
+) -> jnp.ndarray:
+    """Run the full DDIM reverse process; returns final latents (b,f,h,w,c).
+
+    ``tables`` must be reverse-ordered (index 0 = highest timestep), as
+    produced by ``DiffusionSchedule.ddim_tables``.
+    """
+    b = x_T.shape[0]
+    use_cfg = uncond_context is not None and guidance_scale != 1.0
+    cond_f = 0 if x0_emb is None else x0_emb.shape[1]
+
+    timesteps = jnp.asarray(tables.timesteps)
+    alphas = jnp.asarray(tables.alphas)
+    alphas_prev = jnp.asarray(tables.alphas_prev)
+    sigmas = jnp.asarray(tables.sigmas)
+    sqrt_one_minus = jnp.asarray(tables.sqrt_one_minus_alphas)
+    num_steps = timesteps.shape[0]
+
+    if use_cfg:
+        # One batched UNet call per step: [uncond; cond] (reference order).
+        ctx_in = jnp.concatenate([uncond_context, context], axis=0)
+    else:
+        ctx_in = context
+
+    def step(img, per_step):
+        t, a_t, a_prev, sigma_t, sqrt_1m_at, step_idx = per_step
+        x_cat = img if x0_emb is None else jnp.concatenate([x0_emb, img], axis=1)
+        ts = jnp.full((b,), t, dtype=jnp.int32)
+        if use_cfg:
+            x_in = jnp.concatenate([x_cat, x_cat], axis=0)
+            t_in = jnp.concatenate([ts, ts], axis=0)
+            e_all = unet_apply(x_in, t_in, ctx_in, cond_frame)
+            e_all = e_all[:, cond_f:]
+            e_uncond, e_cond = jnp.split(e_all, 2, axis=0)
+            e_t = e_uncond + guidance_scale * (e_cond - e_uncond)
+        else:
+            e_t = unet_apply(x_cat, ts, ctx_in, cond_frame)[:, cond_f:]
+
+        e_t = e_t.astype(jnp.float32)
+        img32 = img.astype(jnp.float32)
+        pred_x0 = (img32 - sqrt_1m_at * e_t) / jnp.sqrt(a_t)
+        dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma_t**2, 0.0)) * e_t
+        x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt
+        if eta_noise_key is not None:
+            key = jax.random.fold_in(eta_noise_key, step_idx)
+            x_prev = x_prev + sigma_t * temperature * jax.random.normal(
+                key, img.shape, dtype=jnp.float32
+            )
+        return x_prev.astype(img.dtype), None
+
+    per_step = (
+        timesteps,
+        alphas,
+        alphas_prev,
+        sigmas,
+        sqrt_one_minus,
+        jnp.arange(num_steps, dtype=jnp.int32),
+    )
+    final, _ = jax.lax.scan(step, x_T, per_step)
+    return final

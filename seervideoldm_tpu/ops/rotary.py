@@ -1,0 +1,55 @@
+"""Rotary position embedding, rotary-embedding-torch==0.1.5 convention.
+
+The reference wraps ``RotaryEmbedding(min(32, dim_head))`` and calls
+``rotate_queries_or_keys`` on ``(batch*heads, seq, head_dim)`` tensors
+(``seer/models/attention.py:479-481,528-530,650-651``).  Convention details
+that matter for checkpoint parity:
+
+- ``inv_freq[j] = theta^(-2j/rot_dim)`` for ``j < rot_dim/2`` ('lang' freqs,
+  theta=10000);
+- per-position freqs are duplicated **adjacently/interleaved**
+  (``repeat '... n -> ... (n r)', r=2``), and ``rotate_half`` operates on
+  interleaved pairs ``(x0, x1) -> (-x1, x0)``;
+- only the first ``rot_dim`` channels of the head are rotated; the rest pass
+  through unchanged;
+- positions are the index along the sequence axis.  In the reference's SWAT
+  windowed temporal attention the rotary is applied to the **f-major
+  flattened full-resolution sequence** (positions ``frame*(h*w) + row*w +
+  col``) *before* window partitioning (``attention.py:650-655``) — so this
+  module accepts arbitrary position arrays.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def rotary_freqs(positions: jnp.ndarray, rot_dim: int, theta: float = 10000.0) -> jnp.ndarray:
+    """Per-position rotary phases, shape ``positions.shape + (rot_dim,)``.
+
+    Each frequency appears twice adjacently (interleaved-pair convention).
+    Computed in fp32.
+    """
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, rot_dim, 2, dtype=jnp.float32) / rot_dim))
+    freqs = positions.astype(jnp.float32)[..., None] * inv_freq  # (..., rot_dim/2)
+    return jnp.repeat(freqs, 2, axis=-1)  # (..., rot_dim), [f0,f0,f1,f1,...]
+
+
+def _rotate_half_interleaved(x: jnp.ndarray) -> jnp.ndarray:
+    """(x0, x1, x2, x3, ...) -> (-x1, x0, -x3, x2, ...)."""
+    x_pairs = x.reshape(*x.shape[:-1], x.shape[-1] // 2, 2)
+    x1 = x_pairs[..., 0]
+    x2 = x_pairs[..., 1]
+    rotated = jnp.stack([-x2, x1], axis=-1)
+    return rotated.reshape(x.shape)
+
+
+def apply_rotary(t: jnp.ndarray, freqs: jnp.ndarray) -> jnp.ndarray:
+    """Rotate the first ``rot_dim`` channels of ``t`` (..., seq, head_dim).
+
+    ``freqs`` has shape broadcastable to ``t.shape[:-1] + (rot_dim,)``.
+    """
+    rot_dim = freqs.shape[-1]
+    t_rot = t[..., :rot_dim].astype(jnp.float32)
+    t_pass = t[..., rot_dim:]
+    rotated = t_rot * jnp.cos(freqs) + _rotate_half_interleaved(t_rot) * jnp.sin(freqs)
+    return jnp.concatenate([rotated.astype(t.dtype), t_pass], axis=-1)

@@ -1,0 +1,13 @@
+"""Test env: force CPU with 8 virtual devices so sharding tests run anywhere."""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# CPU backend lowers fp32 matmuls to reduced precision by default; parity
+# tests compare against torch fp32, so force full precision.
+jax.config.update("jax_default_matmul_precision", "highest")
