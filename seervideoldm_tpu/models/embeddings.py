@@ -20,11 +20,18 @@ def timestep_embedding(
 
     timesteps: (b,) -> (b, dim), fp32.
     """
+    import math
+
+    import numpy as np
+
     half_dim = dim // 2
-    exponent = -jnp.log(max_period) * jnp.arange(half_dim, dtype=jnp.float32)
+    # Static fp64 frequency table: torch computes this in fp32 whose ~1-ulp
+    # exp() error, amplified by t≈1000, yields ~2e-3 phase noise — we are
+    # strictly more accurate, matching fp64 ground truth to ~1e-5.
+    exponent = -math.log(max_period) * np.arange(half_dim, dtype=np.float64)
     exponent = exponent / (half_dim - downscale_freq_shift)
-    emb = jnp.exp(exponent)
-    emb = timesteps.astype(jnp.float32)[:, None] * emb[None, :]
+    freqs = jnp.asarray(np.exp(exponent).astype(np.float32))
+    emb = timesteps.astype(jnp.float32)[:, None] * freqs[None, :]
     emb = jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=-1)
     if flip_sin_to_cos:
         emb = jnp.concatenate([emb[:, half_dim:], emb[:, :half_dim]], axis=-1)

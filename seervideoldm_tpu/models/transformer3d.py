@@ -1,0 +1,214 @@
+"""Spatial/temporal/text transformer blocks of the SeerUNet.
+
+Parity with reference ``seer/models/attention.py``:
+
+- ``FeedForward`` with GEGLU gating (``attention.py:705-793``);
+- ``BasicTextTransformerBlock3D`` (``:265-327``) — per-frame spatial
+  self-attention + per-frame cross-attention to that frame's FSText
+  sub-instruction (4-D context reshaped to ``(b*f, l, d)``);
+- ``BasicTransformerBlock3D`` temporal variant (``:181-263``) — SWAT
+  windowed causal spatio-temporal self-attention, and a feed-forward whose
+  residual **skips the first ``cond_frame`` frames** (``:241-246``);
+- ``SpatialTransformer3D`` (``:97-151``) — fp32 GroupNorm → 1x1 proj_in →
+  blocks → **zero-initialized** 1x1 proj_out (+ residual), the inflation
+  trick that makes fresh temporal layers start as identity (``:126-127``).
+
+Layout: channels-last ``(b, f, h, w, c)`` throughout.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.attention import CrossAttention, WindowTemporalAttention
+from ..ops.conv import InflatedConv
+from ..ops.norms import GroupNorm, LayerNorm
+
+
+class GEGLU(nn.Module):
+    dim_out: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Dense(
+            self.dim_out * 2, dtype=self.dtype, param_dtype=self.param_dtype, name="proj"
+        )(x)
+        hidden, gate = jnp.split(x, 2, axis=-1)
+        return hidden * nn.gelu(gate, approximate=False)
+
+
+class FeedForward(nn.Module):
+    """GEGLU(dim -> 4*dim) -> Dense(4*dim -> dim). Names mirror torch ff.net.{0,2}."""
+
+    dim: int
+    mult: int = 4
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        inner = int(self.dim * self.mult)
+        x = GEGLU(inner, dtype=self.dtype, param_dtype=self.param_dtype, name="net_0")(x)
+        return nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype, name="net_2")(x)
+
+
+class BasicTextTransformerBlock3D(nn.Module):
+    """Per-frame self-attn + per-frame cross-attn to FSText sub-instructions."""
+
+    dim: int
+    n_heads: int
+    d_head: int
+    context_dim: Optional[int] = None
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """x: (b, f, h, w, c). context: (b, f, l, d) FSText embeddings."""
+        b, f, h, w, c = x.shape
+        x = x.reshape(b * f, h * w, c)
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        x = CrossAttention(
+            query_dim=self.dim, heads=self.n_heads, dim_head=self.d_head, name="attn1", **kw
+        )(LayerNorm(param_dtype=self.param_dtype, name="norm1")(x)) + x
+        if context is not None:
+            d = context.shape[-1]
+            ctx = context.reshape(b * f, -1, d)
+            x = CrossAttention(
+                query_dim=self.dim,
+                cross_attention_dim=self.context_dim,
+                heads=self.n_heads,
+                dim_head=self.d_head,
+                name="attn2",
+                **kw,
+            )(LayerNorm(param_dtype=self.param_dtype, name="norm2")(x), context=ctx) + x
+        x = FeedForward(self.dim, name="ff", **kw)(
+            LayerNorm(param_dtype=self.param_dtype, name="norm3")(x)
+        ) + x
+        return x.reshape(b, f, h, w, c)
+
+
+class BasicTransformerBlock3D(nn.Module):
+    """Reference BasicTransformerBlock3D.
+
+    ``temporal=True`` (the live UNet configuration): SWAT windowed causal
+    attention over the full video, then feed-forward skipping the first
+    ``cond_frame`` frames' residual.  ``temporal=False`` kept for parity
+    completeness (per-frame self-attn + global cross-attn).
+    """
+
+    dim: int
+    n_heads: int
+    d_head: int
+    context_dim: Optional[int] = None
+    temporal: bool = False
+    causal: bool = False
+    cond_frame: int = 0  # static: first cond_frame frames bypass the FF residual
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        context: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        b, f, h, w, c = x.shape
+        cond_frame = self.cond_frame
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        if self.temporal:
+            x = x.reshape(b, f * h * w, c)
+            x_norm = LayerNorm(param_dtype=self.param_dtype, name="norm1")(x)
+            x = WindowTemporalAttention(
+                query_dim=self.dim,
+                heads=self.n_heads,
+                dim_head=self.d_head,
+                causal=self.causal,
+                name="attn1",
+                **kw,
+            )(x_norm.reshape(b, f, h, w, c)).reshape(b, f * h * w, c) + x
+            ff = FeedForward(self.dim, name="ff", **kw)
+            norm3 = LayerNorm(param_dtype=self.param_dtype, name="norm3")
+            if cond_frame > 0:
+                # cond-frame tokens bypass the FF residual (attention.py:241-246)
+                x0, rest = x[:, : cond_frame * h * w], x[:, cond_frame * h * w :]
+                rest = ff(norm3(rest)) + rest
+                x = jnp.concatenate([x0, rest], axis=1)
+            else:
+                x = ff(norm3(x)) + x
+            return x.reshape(b, f, h, w, c)
+
+        # non-temporal variant (unused by the live SeerUNet config)
+        x = x.reshape(b * f, h * w, c)
+        x = CrossAttention(
+            query_dim=self.dim, heads=self.n_heads, dim_head=self.d_head, name="attn1", **kw
+        )(LayerNorm(param_dtype=self.param_dtype, name="norm1")(x)) + x
+        x = x.reshape(b, f * h * w, c)
+        if context is not None:
+            x = CrossAttention(
+                query_dim=self.dim,
+                cross_attention_dim=self.context_dim,
+                heads=self.n_heads,
+                dim_head=self.d_head,
+                name="attn2",
+                **kw,
+            )(LayerNorm(param_dtype=self.param_dtype, name="norm2")(x), context=context) + x
+        x = FeedForward(self.dim, name="ff", **kw)(
+            LayerNorm(param_dtype=self.param_dtype, name="norm3")(x)
+        ) + x
+        return x.reshape(b, f, h, w, c)
+
+
+class SpatialTransformer3D(nn.Module):
+    """GroupNorm → 1x1 proj_in → transformer blocks → zero-init 1x1 proj_out + residual."""
+
+    in_channels: int
+    n_heads: int
+    d_head: int
+    depth: int = 1
+    context_dim: Optional[int] = None
+    temporal: bool = False
+    text_frame_condition: bool = False
+    causal: bool = False
+    cond_frame: int = 0
+    norm_num_groups: int = 32  # reference hardcodes 32 (attention.py:109)
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        context: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        inner_dim = self.n_heads * self.d_head
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        x_in = x
+        x = GroupNorm(
+            self.norm_num_groups, eps=1e-6, param_dtype=self.param_dtype, name="norm"
+        )(x)
+        x = InflatedConv(inner_dim, (1, 1), padding=0, name="proj_in", **kw)(x)
+        for d in range(self.depth):
+            if self.text_frame_condition:
+                x = BasicTextTransformerBlock3D(
+                    inner_dim, self.n_heads, self.d_head,
+                    context_dim=self.context_dim, name=f"transformer_blocks_{d}", **kw,
+                )(x, context=context)
+            else:
+                x = BasicTransformerBlock3D(
+                    inner_dim, self.n_heads, self.d_head,
+                    context_dim=self.context_dim, temporal=self.temporal, causal=self.causal,
+                    cond_frame=self.cond_frame,
+                    name=f"transformer_blocks_{d}", **kw,
+                )(x, context=context)
+        # zero-initialized output projection: fresh temporal layers start as identity
+        x = InflatedConv(
+            self.in_channels, (1, 1), padding=0,
+            kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
+            name="proj_out", **kw,
+        )(x)
+        return x + x_in

@@ -1,0 +1,180 @@
+"""SeerUNet — the SD-1.5 UNet inflated to video with causal temporal attention.
+
+Parity with reference ``seer/models/unet_3d_condition.py:61-376``:
+
+- block types hardcoded: down = 3×CrossAttnDownBlock3D + DownBlock3D,
+  up = UpBlock3D + 3×CrossAttnUpBlock3D, mid = UNetMidBlock3DCrossAttn with
+  ``text_frame_condition=True, causal=True`` (``:90-91, 145-157``);
+- timestep → sinusoidal (flip_sin_to_cos=True, freq_shift=0) → MLP
+  (``:97-100, 297-308``);
+- forward: conv_in → down (skip stack) → mid → up (skip concat) → fp32
+  GroupNorm + SiLU + conv_out (``:283-376``);
+- ``cond_frame`` threaded to every temporal attention block;
+- SD-1.5's loaded config overrides ``cross_attention_dim`` to 768 (the class
+  default 1280 is never live; SURVEY §2.5.6) — our default is 768.
+
+Layout: channels-last. ``sample`` is ``(b, f, h, w, c)``; use
+``seervideoldm_tpu.utils.layout`` helpers to convert from the reference's
+``(b, c, f, h, w)``.  ``remat=True`` wraps each top-level block in
+``jax.checkpoint`` for memory-bound training.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.conv import InflatedConv
+from ..ops.norms import GroupNorm
+from .embeddings import TimestepEmbedding, timestep_embedding
+from .unet_blocks import (
+    CrossAttnDownBlock3D,
+    CrossAttnUpBlock3D,
+    DownBlock3D,
+    UNetMidBlock3DCrossAttn,
+    UpBlock3D,
+)
+
+
+@dataclass(frozen=True)
+class SeerUNetConfig:
+    in_channels: int = 4
+    out_channels: int = 4
+    center_input_sample: bool = False
+    flip_sin_to_cos: bool = True
+    freq_shift: float = 0.0
+    block_out_channels: Sequence[int] = (320, 640, 1280, 1280)
+    layers_per_block: int = 2
+    downsample_padding: int = 1
+    norm_num_groups: int = 32
+    norm_eps: float = 1e-5
+    cross_attention_dim: int = 768
+    attention_head_dim: int = 8
+
+
+SEER_UNET_SD15_CONFIG = SeerUNetConfig()
+
+
+class SeerUNet(nn.Module):
+    config: SeerUNetConfig = SEER_UNET_SD15_CONFIG
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        sample: jnp.ndarray,
+        timesteps: jnp.ndarray,
+        context: jnp.ndarray,
+        cond_frame: int = 0,
+    ) -> jnp.ndarray:
+        """sample: (b, f, h, w, 4) latents; timesteps: (b,) or scalar;
+        context: (b, f, l, 768) FSText per-frame sub-instruction embeddings."""
+        cfg = self.config
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        boc = tuple(cfg.block_out_channels)
+        time_embed_dim = boc[0] * 4
+
+        if cfg.center_input_sample:
+            sample = 2 * sample - 1.0
+
+        timesteps = jnp.asarray(timesteps)
+        if timesteps.ndim == 0:
+            timesteps = jnp.broadcast_to(timesteps[None], (sample.shape[0],))
+
+        t_emb = timestep_embedding(
+            timesteps, boc[0], flip_sin_to_cos=cfg.flip_sin_to_cos,
+            downscale_freq_shift=cfg.freq_shift,
+        )
+        emb = TimestepEmbedding(time_embed_dim, name="time_embedding", **kw)(
+            t_emb.astype(self.dtype)
+        )
+
+        sample = InflatedConv(boc[0], (3, 3), padding=1, name="conv_in", **kw)(sample)
+
+        maybe_remat = (lambda cls: nn.remat(cls, static_argnums=())) if self.remat else (
+            lambda cls: cls
+        )
+
+        # --- down ---
+        down_block_res: tuple = (sample,)
+        output_channel = boc[0]
+        num_blocks = len(boc)
+        for i in range(num_blocks):
+            input_channel = output_channel
+            output_channel = boc[i]
+            is_final = i == num_blocks - 1
+            if not is_final:
+                sample, res_samples = maybe_remat(CrossAttnDownBlock3D)(
+                    in_channels=input_channel, out_channels=output_channel,
+                    temb_channels=time_embed_dim, num_layers=cfg.layers_per_block,
+                    resnet_eps=cfg.norm_eps, resnet_groups=cfg.norm_num_groups,
+                    attn_num_head_channels=cfg.attention_head_dim,
+                    cross_attention_dim=cfg.cross_attention_dim,
+                    downsample_padding=cfg.downsample_padding,
+                    add_downsample=True, text_frame_condition=True, causal=True,
+                    cond_frame=cond_frame, name=f"down_blocks_{i}", **kw,
+                )(sample, temb=emb, encoder_hidden_states=context)
+            else:
+                sample, res_samples = maybe_remat(DownBlock3D)(
+                    in_channels=input_channel, out_channels=output_channel,
+                    temb_channels=time_embed_dim, num_layers=cfg.layers_per_block,
+                    resnet_eps=cfg.norm_eps, resnet_groups=cfg.norm_num_groups,
+                    downsample_padding=cfg.downsample_padding, add_downsample=False,
+                    name=f"down_blocks_{i}", **kw,
+                )(sample, temb=emb)
+            down_block_res += res_samples
+
+        # --- mid ---
+        sample = maybe_remat(UNetMidBlock3DCrossAttn)(
+            in_channels=boc[-1], temb_channels=time_embed_dim,
+            resnet_eps=cfg.norm_eps, resnet_groups=cfg.norm_num_groups,
+            attn_num_head_channels=cfg.attention_head_dim,
+            cross_attention_dim=cfg.cross_attention_dim,
+            text_frame_condition=True, causal=True, cond_frame=cond_frame,
+            name="mid_block", **kw,
+        )(sample, temb=emb, encoder_hidden_states=context)
+
+        # --- up ---
+        reversed_boc = list(reversed(boc))
+        output_channel = reversed_boc[0]
+        for i in range(num_blocks):
+            prev_output_channel = output_channel
+            output_channel = reversed_boc[i]
+            input_channel = reversed_boc[min(i + 1, num_blocks - 1)]
+            is_final = i == num_blocks - 1
+            num_layers = cfg.layers_per_block + 1
+            res_samples = down_block_res[-num_layers:]
+            down_block_res = down_block_res[:-num_layers]
+            if i == 0:
+                sample = maybe_remat(UpBlock3D)(
+                    in_channels=input_channel, prev_output_channel=prev_output_channel,
+                    out_channels=output_channel, temb_channels=time_embed_dim,
+                    num_layers=num_layers, resnet_eps=cfg.norm_eps,
+                    resnet_groups=cfg.norm_num_groups, add_upsample=not is_final,
+                    name=f"up_blocks_{i}", **kw,
+                )(sample, res_samples, temb=emb)
+            else:
+                sample = maybe_remat(CrossAttnUpBlock3D)(
+                    in_channels=input_channel, out_channels=output_channel,
+                    prev_output_channel=prev_output_channel, temb_channels=time_embed_dim,
+                    num_layers=num_layers, resnet_eps=cfg.norm_eps,
+                    resnet_groups=cfg.norm_num_groups,
+                    attn_num_head_channels=cfg.attention_head_dim,
+                    cross_attention_dim=cfg.cross_attention_dim,
+                    add_upsample=not is_final, text_frame_condition=True, causal=True,
+                    cond_frame=cond_frame, name=f"up_blocks_{i}", **kw,
+                )(sample, res_samples, temb=emb, encoder_hidden_states=context)
+
+        # --- out (fp32 GroupNorm island, unet_3d_condition.py:365-370) ---
+        sample = GroupNorm(
+            cfg.norm_num_groups, eps=cfg.norm_eps,
+            param_dtype=self.param_dtype, name="conv_norm_out",
+        )(sample)
+        sample = nn.silu(sample)
+        return InflatedConv(
+            cfg.out_channels, (3, 3), padding=1, name="conv_out", **kw
+        )(sample)

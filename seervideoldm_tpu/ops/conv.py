@@ -25,6 +25,8 @@ class InflatedConv(nn.Module):
     strides: Sequence[int] = (1, 1)
     padding: int = 1
     use_bias: bool = True
+    kernel_init: nn.initializers.Initializer = nn.initializers.lecun_normal()
+    bias_init: nn.initializers.Initializer = nn.initializers.zeros
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -39,6 +41,8 @@ class InflatedConv(nn.Module):
             strides=tuple(self.strides),
             padding=[(pad, pad), (pad, pad)],
             use_bias=self.use_bias,
+            kernel_init=self.kernel_init,
+            bias_init=self.bias_init,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="conv",
