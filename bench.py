@@ -1,0 +1,117 @@
+"""Headline benchmark: DDIM sampling frames/sec/chip on the flagship model.
+
+Prints ONE JSON line:
+  {"metric": "frames_per_sec_per_chip", "value": N, "unit": "frames/s/chip",
+   "vs_baseline": R}
+
+Protocol (BASELINE.md north star): 12-frame clip, DDIM sampling with CFG
+(2x batched UNet), cond_frames=2, SD-1.5-scale SeerUNet in bf16.  The
+resolution defaults to 256 px latents (32x32) — the reference training/eval
+recipe; pass --resolution 512 for the 512 px variant.  The baseline divisor
+is the A100 reference measurement when available in BASELINE.json, else 1.0
+(value is then the raw frames/s/chip).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--resolution", type=int, default=256)
+    parser.add_argument("--num_frames", type=int, default=12)
+    parser.add_argument("--cond_frames", type=int, default=2)
+    parser.add_argument("--ddim_steps", type=int, default=50)
+    parser.add_argument("--batch", type=int, default=1)
+    parser.add_argument("--iters", type=int, default=3)
+    args = parser.parse_args()
+
+    from seervideoldm_tpu.diffusion.schedules import DiffusionSchedule
+    from seervideoldm_tpu.diffusion.ddim import ddim_sample_loop
+    from seervideoldm_tpu.models.fstext import FSTextTransformer
+    from seervideoldm_tpu.models.unet3d import SeerUNet
+
+    dtype = jnp.bfloat16
+    latent = args.resolution // 8
+    f1, f = args.cond_frames, args.num_frames
+    f2 = f - f1
+    b = args.batch
+
+    unet = SeerUNet(dtype=dtype)
+    fstext = FSTextTransformer(num_frames=f, dtype=dtype)
+    rng = jax.random.PRNGKey(0)
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    clip_emb = jax.random.normal(k1, (b, 77, 768), dtype)
+    x0_emb = jax.random.normal(k2, (b, f1, latent, latent, 4), dtype)
+    x_T = jax.random.normal(k3, (b, f2, latent, latent, 4), dtype)
+    unet_params = unet.init(
+        k4, jnp.zeros((2 * b, f, latent, latent, 4), dtype),
+        jnp.zeros((2 * b,), jnp.int32), jnp.zeros((2 * b, f, 77, 768), dtype), 0,
+    )["params"]
+    fstext_params = fstext.init(k4, clip_emb)["params"]
+
+    schedule = DiffusionSchedule.create(1000)
+    tables = schedule.ddim_tables(args.ddim_steps, eta=0.0)
+
+    def sample(unet_params, fstext_params, x_T, x0_emb, clip_emb):
+        context = fstext.apply({"params": fstext_params}, clip_emb)
+        uncond = jnp.broadcast_to(
+            clip_emb[:, None], (b, f, *clip_emb.shape[1:])
+        )
+
+        def unet_apply(x, t, ctx, cf):
+            return unet.apply({"params": unet_params}, x, t, ctx, cf)
+
+        return ddim_sample_loop(
+            unet_apply, x_T, tables, context, x0_emb=x0_emb,
+            uncond_context=uncond, guidance_scale=7.5,
+        )
+
+    fn = jax.jit(sample, donate_argnums=(2,))
+    # warmup/compile
+    out = fn(unet_params, fstext_params, x_T, x0_emb, clip_emb)
+    out.block_until_ready()
+
+    times = []
+    for _ in range(args.iters):
+        x_T_i = jax.random.normal(jax.random.PRNGKey(1), x_T.shape, dtype)
+        t0 = time.perf_counter()
+        out = fn(unet_params, fstext_params, x_T_i, x0_emb, clip_emb)
+        out.block_until_ready()
+        times.append(time.perf_counter() - t0)
+
+    dt = float(np.median(times))
+    frames_per_sec = b * f2 / dt
+    n_chips = jax.device_count()
+    value = frames_per_sec / n_chips
+
+    baseline = None
+    try:
+        with open("BASELINE.json") as fp:
+            base = json.load(fp)
+        baseline = base.get("measured", {}).get("a100_frames_per_sec_per_chip")
+    except Exception:
+        pass
+    vs_baseline = value / baseline if baseline else 1.0
+
+    print(json.dumps({
+        "metric": "frames_per_sec_per_chip",
+        "value": round(value, 4),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(vs_baseline, 4),
+        "detail": {
+            "resolution": args.resolution, "num_frames": f,
+            "ddim_steps": args.ddim_steps, "clip_latency_s": round(dt, 4),
+            "chips": n_chips,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,129 @@
+"""FVD/KVD and Inception Score evaluation over the validation split
+(reference ``eval.py`` equivalent).
+
+Usage: ``python eval.py --config ./configs/eval.yaml``.
+Samples clips with DDIM+CFG, prepends the conditioning frames (reference
+``eval.py:225``), accumulates buckets of ``MAX_FVD_BATCH`` clips, and
+reports cumulative FVD/KVD via the JAX I3D (VideoGPT protocol) and/or IS
+via the JAX C3D.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from seervideoldm_tpu.config import parse_args
+from seervideoldm_tpu.data import DataLoader, build_dataset
+from seervideoldm_tpu.pipelines.loading import (
+    load_finetuned,
+    load_models,
+    resolve_finetuned_dir,
+)
+from seervideoldm_tpu.pipelines.text_video import SeerPipeline
+
+
+def to_uint8(video01: np.ndarray) -> np.ndarray:
+    return (np.clip(video01, 0.0, 1.0) * 255).astype(np.uint8)
+
+
+def main() -> None:
+    cfg = parse_args("Seer TPU FVD/KVD/IS evaluation")
+    rng = jax.random.PRNGKey(cfg.seed)
+    k_model, k_eval = jax.random.split(rng)
+
+    models, tokenizer = load_models(cfg, k_model)
+    ckpt_dir = resolve_finetuned_dir(cfg)
+    if ckpt_dir:
+        models = load_finetuned(models, ckpt_dir)
+    pipe = SeerPipeline(models)
+
+    fvd_eval = None
+    if cfg.compute_fvd:
+        from seervideoldm_tpu.evaluation.fvd import FVDEvaluator
+        from seervideoldm_tpu.evaluation.i3d import InceptionI3d, load_i3d_params
+
+        i3d = InceptionI3d()
+        i3d_params = i3d.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, cfg.num_frames, 224, 224, 3))
+        )["params"]
+        if cfg.i3d_ckpt:
+            i3d_params = load_i3d_params(cfg.i3d_ckpt, i3d_params)
+        else:
+            print("WARNING: no i3d_ckpt given — FVD uses random I3D weights")
+        fvd_eval = FVDEvaluator(i3d, i3d_params)
+
+    c3d_classify = None
+    y_score_stack: list = []
+    is_mean = is_std = float("nan")
+    if cfg.compute_is:
+        from seervideoldm_tpu.evaluation.c3d import C3D, load_c3d_params
+        from seervideoldm_tpu.evaluation.inception_score import inception_score
+
+        c3d = C3D()
+        c3d_params = c3d.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 112, 112, 3)))[
+            "params"
+        ]
+        if cfg.c3d_ckpt:
+            mean_path = cfg.get("c3d_mean_path") or cfg.c3d_ckpt.replace(
+                "conv3d_deepnetA_ucf.npz", "mean2.npz"
+            )
+            c3d_params = load_c3d_params(cfg.c3d_ckpt, mean_path, c3d_params)
+        else:
+            print("WARNING: no c3d_ckpt given — IS uses random C3D weights")
+        c3d_apply = jax.jit(lambda v: c3d.apply({"params": c3d_params}, v))
+        c3d_classify = lambda v: c3d_apply(jnp.asarray(v))  # noqa: E731
+
+    dataset = build_dataset(
+        cfg.dataset, cfg.dataset_path or cfg.get("data_dir"),
+        cfg.resolution, cfg.num_frames, split="val",
+    )
+    loader = DataLoader(dataset, cfg.val_batch_size, shuffle=False,
+                        num_workers=int(cfg.get("num_workers", cfg.dataloader_num_workers)), drop_last=True)
+
+    pred_stack: list[np.ndarray] = []
+    gt_stack: list[np.ndarray] = []
+    fvd = kvd = float("nan")
+    for i, (videos, prompts) in enumerate(loader):
+        video = jnp.asarray(videos)
+        cond = video[:, : cfg.cond_frames]
+        tok = tokenizer(prompts)
+        tok_uc = tokenizer([""] * len(prompts))
+        samples = pipe.generate(
+            cond, tok["input_ids"], tok["attention_mask"],
+            tok_uc["input_ids"], tok_uc["attention_mask"],
+            num_frames=cfg.num_frames, rng=jax.random.fold_in(k_eval, i),
+            ddim_steps=cfg.ddim_steps, guidance_scale=cfg.scale,
+        )
+        # prepend cond frames to prediction (eval.py:225)
+        pred = np.concatenate(
+            [np.asarray((cond + 1.0) / 2.0), np.asarray(samples)], axis=1
+        )
+        gt = np.asarray((video + 1.0) / 2.0)
+        pred_stack.append(to_uint8(pred))
+        gt_stack.append(to_uint8(gt))
+        n_acc = sum(len(p) for p in pred_stack)
+
+        if cfg.compute_fvd and n_acc >= cfg.MAX_FVD_BATCH:
+            metrics = fvd_eval.update(
+                np.concatenate(pred_stack), np.concatenate(gt_stack)
+            )
+            fvd, kvd = metrics["fvd"], metrics["kvd"]
+            print(f"[{metrics['n']} clips] FVD {fvd:.2f} KVD {kvd:.4f}")
+            pred_stack, gt_stack = [], []
+        elif cfg.compute_is and n_acc >= cfg.MAX_IS_BATCH:
+            samples_np = np.concatenate(pred_stack) / 127.5 - 1.0
+            is_mean, is_std, y_score_stack = inception_score(
+                c3d_classify, samples_np.astype(np.float32), y_score_stack
+            )
+            print(f"IS {is_mean:.2f} +- {is_std:.2f}")
+            pred_stack, gt_stack = [], []
+
+    if cfg.compute_fvd:
+        print(f"Final FVD {fvd:.2f}, KVD {kvd:.4f}")
+    if cfg.compute_is:
+        print(f"Final IS {is_mean:.2f} +- {is_std:.2f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,74 @@
+"""Batch dataset sampling driver (reference ``inference.py``).
+
+Usage: ``python inference.py --config ./configs/inference.yaml``.
+Iterates the validation split, DDIM-samples ``num_samples`` clips per batch
+with CFG, and writes GIFs + PNG grids (generated | VAE-recon | GT rows).
+"""
+from __future__ import annotations
+
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from seervideoldm_tpu.config import parse_args
+from seervideoldm_tpu.data import DataLoader, build_dataset
+from seervideoldm_tpu.pipelines.loading import (
+    load_finetuned,
+    load_models,
+    resolve_finetuned_dir,
+)
+from seervideoldm_tpu.pipelines.text_video import SeerPipeline
+from seervideoldm_tpu.utils.viz import save_visualization
+
+
+def main() -> None:
+    cfg = parse_args("Seer TPU batch inference")
+    rng = jax.random.PRNGKey(cfg.seed)
+    k_model, k_sample = jax.random.split(rng)
+
+    models, tokenizer = load_models(cfg, k_model)
+    ckpt_dir = resolve_finetuned_dir(cfg)
+    if ckpt_dir:
+        models = load_finetuned(models, ckpt_dir)
+    pipe = SeerPipeline(models)
+
+    dataset = build_dataset(
+        cfg.dataset, cfg.dataset_path or cfg.get("data_dir"),
+        cfg.resolution, cfg.num_frames, split="val",
+    )
+    loader = DataLoader(dataset, cfg.val_batch_size, shuffle=False,
+                        num_workers=int(cfg.get("num_workers", cfg.dataloader_num_workers)), drop_last=True)
+
+    it = itertools.cycle(iter(loader))
+    for i_ter in range(cfg.sample_iter):
+        videos, prompts = next(it)
+        video = jnp.asarray(videos)  # (b, f, h, w, 3) in [-1, 1]
+        cond = video[:, : cfg.cond_frames]
+        gt = video[:, cfg.cond_frames :]
+        tok = tokenizer(prompts)
+        tok_uc = tokenizer([""] * len(prompts))
+
+        k_enc, k_it = jax.random.split(jax.random.fold_in(k_sample, i_ter))
+        gt_latents = pipe.vae_encode_video(gt, k_enc)
+        recon = pipe.vae_decode_video(gt_latents)
+
+        for j in range(cfg.num_samples):
+            samples = pipe.generate(
+                cond, tok["input_ids"], tok["attention_mask"],
+                tok_uc["input_ids"], tok_uc["attention_mask"],
+                num_frames=cfg.num_frames, rng=jax.random.fold_in(k_it, j),
+                ddim_steps=cfg.ddim_steps, guidance_scale=cfg.scale,
+            )
+            save_visualization(
+                np.asarray(samples), np.asarray(recon),
+                np.asarray((gt + 1.0) / 2.0), np.asarray((cond + 1.0) / 2.0),
+                cfg.output_dir, global_step=i_ter * 10 + j,
+                num_sample_rows=cfg.n_rows,
+            )
+        print(f"iteration {i_ter + 1}/{cfg.sample_iter} done")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,89 @@
+"""Threaded prefetching data loader feeding the TPU.
+
+Replaces the reference's ``torch.utils.data.DataLoader`` workers
+(``train.py:247-249``) with a thread-pool decode pipeline + bounded
+prefetch queue — JPEG decode and preprocessing overlap device compute.
+Deterministic epoch shuffling is keyed on ``(seed, epoch)`` so
+checkpoint-resume replays the identical data order (stateless index
+shuffling; SURVEY §5 failure-recovery plan).
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+class DataLoader:
+    """Batched iterator over a map-style dataset of (video, prompt) items."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        num_workers: int = 4,
+        prefetch: int = 2,
+        drop_last: bool = True,
+        shard_index: int = 0,
+        num_shards: int = 1,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+        self.shard_index = shard_index
+        self.num_shards = num_shards
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def _indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng((self.seed, self.epoch))
+            rng.shuffle(idx)
+        # contiguous shard per data-parallel host
+        return idx[self.shard_index :: self.num_shards]
+
+    def __len__(self) -> int:
+        n = len(self._indices())
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[tuple[np.ndarray, list[str]]]:
+        indices = self._indices()
+        nb = len(self)
+        out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for b in range(nb):
+                    if stop.is_set():
+                        return
+                    batch_idx = indices[b * self.batch_size : (b + 1) * self.batch_size]
+                    items = list(pool.map(self.dataset.__getitem__, batch_idx))
+                    videos = np.stack([v for v, _ in items], axis=0)
+                    prompts = [p for _, p in items]
+                    out_q.put((videos, prompts))
+            out_q.put(None)
+
+        thread = threading.Thread(target=produce, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            stop.set()

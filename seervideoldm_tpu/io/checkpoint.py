@@ -38,9 +38,13 @@ class CheckpointManager:
     def path_for_step(self, step: int) -> str:
         return os.path.join(self.output_dir, f"learned_sdunet-steps-{step}")
 
-    def save(self, step: int, state: Any, wait: bool = False) -> str:
+    def save(self, step: int, state: Any, params: Any = None, wait: bool = False) -> str:
+        """Save the full train state under ``<dir>/state`` and, optionally,
+        a params-only tree under ``<dir>/params`` for weight-only loading."""
         path = self.path_for_step(step)
-        self._ckptr.save(path, state, force=True)
+        self._ckptr.save(os.path.join(path, "state"), state, force=True)
+        if params is not None:
+            self._ckptr.save(os.path.join(path, "params"), params, force=True)
         if wait:
             self._ckptr.wait_until_finished()
         if self.max_to_keep is not None:
@@ -53,7 +57,10 @@ class CheckpointManager:
         return path
 
     def restore(self, step: int, template: Any) -> Any:
-        return self._ckptr.restore(self.path_for_step(step), template)
+        return self._ckptr.restore(os.path.join(self.path_for_step(step), "state"), template)
+
+    def restore_params(self, step_dir: str, template: Any) -> Any:
+        return self._ckptr.restore(os.path.join(step_dir, "params"), template)
 
     def latest_step(self) -> Optional[int]:
         dirs = _step_dirs(self.output_dir)

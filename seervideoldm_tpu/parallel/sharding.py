@@ -1,0 +1,68 @@
+"""Parameter sharding rules (data parallel + optional tensor parallel).
+
+Rules map parameter-path regexes to ``PartitionSpec``s.  With a ``model``
+axis in the mesh, attention QKV and FFN up-projections shard their output
+features and the output projections shard their input features — the
+Megatron pattern; XLA inserts the all-reduce over ICI.  Everything else is
+replicated.  With a pure ``data`` mesh all parameters are replicated and the
+batch is sharded (the reference's DDP equivalent).
+"""
+from __future__ import annotations
+
+import re
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def tensor_parallel_rules() -> list[tuple[str, P]]:
+    """(regex over 'a/b/c' param paths, PartitionSpec) — first match wins."""
+    return [
+        # attention: shard heads (output features) of q/k/v; input of out-proj
+        (r".*/(to_q|to_k|to_v)/kernel$", P(None, "model")),
+        (r".*/to_out_0/kernel$", P("model", None)),
+        (r".*/(q_proj|k_proj|v_proj)/kernel$", P(None, "model")),
+        (r".*/out_proj/kernel$", P("model", None)),
+        # feed-forward: GEGLU up-proj out features, down-proj in features
+        (r".*/ff/net_0/proj/kernel$", P(None, "model")),
+        (r".*/ff/net_2/kernel$", P("model", None)),
+        (r".*/fc1/kernel$", P(None, "model")),
+        (r".*/fc2/kernel$", P("model", None)),
+    ]
+
+
+def infer_param_sharding(params: Any, mesh: Mesh,
+                         rules: list[tuple[str, P]] | None = None) -> Any:
+    """Pytree of NamedShardings matching ``params``' structure."""
+    has_model = "model" in mesh.axis_names and mesh.shape.get("model", 1) > 1
+    rules = rules if rules is not None else (tensor_parallel_rules() if has_model else [])
+    compiled = [(re.compile(pat), spec) for pat, spec in rules]
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def spec_for(path, leaf):
+        name = "/".join(
+            p.key if hasattr(p, "key") else str(p) for p in path
+        )
+        for pat, spec in compiled:
+            if pat.match(name):
+                # only shard if divisible; otherwise replicate
+                ok = True
+                for dim, axis in zip(leaf.shape, spec):
+                    if axis is not None and dim % mesh.shape[axis] != 0:
+                        ok = False
+                if ok:
+                    return NamedSharding(mesh, spec)
+        return NamedSharding(mesh, P())
+
+    specs = [spec_for(path, leaf) for path, leaf in flat]
+    treedef = jax.tree_util.tree_structure(params)
+    return jax.tree_util.tree_unflatten(treedef, specs)
+
+
+def shard_params(params: Any, mesh: Mesh,
+                 rules: list[tuple[str, P]] | None = None) -> Any:
+    """Place parameters onto the mesh per the inferred shardings."""
+    shardings = infer_param_sharding(params, mesh, rules)
+    return jax.tree.map(jax.device_put, params, shardings)

@@ -1,0 +1,132 @@
+"""Model construction + weight loading shared by all entry points.
+
+Replicates the reference setup path (``train.py:159-187``,
+``inference.py:66-128``): frozen CLIP/VAE from a local SD-1.5 directory,
+SeerUNet inflated from the SD 2D UNet (or loaded from fine-tuned
+``pytorch_model.bin``), FSText from ``pytorch_model_1.bin`` or
+``fstext_init_ckpt``.  All paths are local — this framework runs with zero
+egress.  Native Orbax checkpoints (ours) are auto-detected.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from ..io.convert import (
+    convert_clip_text,
+    convert_fstext,
+    convert_seer_unet,
+    convert_vae,
+    load_torch_state_dict,
+)
+from ..utils.tokenizer import build_tokenizer
+from .text_video import SeerModels
+
+
+def _find_weights(directory: str, *names: str) -> Optional[str]:
+    for name in names:
+        path = os.path.join(directory, name)
+        if os.path.exists(path):
+            return path
+    return None
+
+
+_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
+           "fp32": jnp.float32, "fp16": jnp.bfloat16}  # fp16 configs run as bf16 on TPU
+
+
+def load_models(cfg: Config, rng: jax.Array, latent_size: Optional[int] = None):
+    """Build SeerModels (+ tokenizer), loading any locally available weights."""
+    dtype = _DTYPES.get(str(cfg.compute_dtype), jnp.bfloat16)
+    param_dtype = _DTYPES.get(str(cfg.param_dtype), jnp.float32)
+    models = SeerModels.initialize(
+        rng,
+        num_frames=cfg.num_frames,
+        dtype=dtype,
+        param_dtype=param_dtype,
+        latent_size=latent_size or cfg.resolution // 8,
+        remat=bool(cfg.get("remat", False)),
+    )
+    tokenizer = build_tokenizer(cfg.tokenizer_path)
+
+    root = cfg.pretrained_model_name_or_path
+    if root and os.path.isdir(root):
+        vae_path = _find_weights(
+            os.path.join(root, "vae"),
+            "diffusion_pytorch_model.safetensors", "diffusion_pytorch_model.bin",
+        )
+        if vae_path:
+            models.vae_params = convert_vae(load_torch_state_dict(vae_path),
+                                            models.vae_params)
+        clip_path = _find_weights(
+            os.path.join(root, "text_encoder"),
+            "model.safetensors", "pytorch_model.bin",
+        )
+        if clip_path:
+            models.clip_params = convert_clip_text(load_torch_state_dict(clip_path),
+                                                   models.clip_params)
+        unet_path = _find_weights(
+            os.path.join(root, "unet"),
+            "diffusion_pytorch_model.safetensors", "diffusion_pytorch_model.bin",
+        )
+        if unet_path:
+            # 2D -> 3D inflation: temporal attentions keep fresh init
+            models.unet_params, fresh = convert_seer_unet(
+                load_torch_state_dict(unet_path), models.unet_params, strict=False
+            )
+
+    if cfg.fstext_init_ckpt and os.path.exists(cfg.fstext_init_ckpt):
+        models.fstext_params = convert_fstext(
+            load_torch_state_dict(cfg.fstext_init_ckpt), models.fstext_params
+        )
+    return models, tokenizer
+
+
+def resolve_finetuned_dir(cfg: Config) -> Optional[str]:
+    """Reference convention: ``<output_dir>/learned_sdunet-steps-<N>``
+    selected by ``saved_global_step`` (``inference.py:119-128``), or an
+    explicit ``learned_unet_ckpt`` path."""
+    if cfg.learned_unet_ckpt:
+        return cfg.learned_unet_ckpt
+    if cfg.saved_global_step:
+        path = os.path.join(
+            cfg.output_dir, f"learned_sdunet-steps-{cfg.saved_global_step}"
+        )
+        if os.path.isdir(path):
+            return path
+    return None
+
+
+def load_finetuned(models: SeerModels, ckpt_dir: str) -> SeerModels:
+    """Load fine-tuned SeerUNet + FSText from a checkpoint directory.
+
+    Accepts the reference torch layout (``pytorch_model.bin`` +
+    ``pytorch_model_1.bin``; ``inference.py:119-128``) or a native Orbax
+    checkpoint produced by our trainer.
+    """
+    torch_unet = _find_weights(ckpt_dir, "pytorch_model.bin",
+                               "diffusion_pytorch_model.bin")
+    if torch_unet:
+        models.unet_params, _ = convert_seer_unet(
+            load_torch_state_dict(torch_unet), models.unet_params, strict=True
+        )
+        torch_fstext = _find_weights(ckpt_dir, "pytorch_model_1.bin")
+        if torch_fstext:
+            models.fstext_params = convert_fstext(
+                load_torch_state_dict(torch_fstext), models.fstext_params
+            )
+        return models
+
+    import orbax.checkpoint as ocp
+
+    params_dir = os.path.join(ckpt_dir, "params")
+    restored = ocp.StandardCheckpointer().restore(
+        params_dir, {"unet": models.unet_params, "fstext": models.fstext_params}
+    )
+    models.unet_params = restored["unet"]
+    models.fstext_params = restored["fstext"]
+    return models

@@ -1,0 +1,230 @@
+"""End-to-end text+frames → video sampling pipeline.
+
+Mirrors the reference inference path (``utils/ddim_sampling_utils.py:21-42``
++ ``inference.py:150-205``): CLIP-encode prompt and empty-string uncond →
+FSText decomposition (uncond = raw CLIP embedding expanded per frame, NOT
+passed through FSText, ``inference.py:193-194``) → VAE-encode conditioning
+frames ×0.18215 → DDIM with CFG re-concatenating the clean reference
+latents at every step → per-frame VAE decode ×(1/0.18215) → clamp [0,1].
+
+Everything device-side is jitted once per shape; the DDIM loop is a single
+``lax.scan`` (see ``diffusion/ddim.py``).  Video I/O layout at this
+boundary: channels-last ``(b, f, h, w, c)`` in [-1, 1].
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..diffusion.ddim import ddim_sample_loop
+from ..diffusion.schedules import DiffusionSchedule
+from ..models.clip_text import CLIPTextModel
+from ..models.fstext import FSTextTransformer
+from ..models.unet3d import SeerUNet, SeerUNetConfig
+from ..models.vae import AutoencoderKL, VAE_SCALE
+
+
+@dataclass
+class SeerModels:
+    """Module defs + parameter pytrees for the full model stack."""
+
+    unet: SeerUNet
+    fstext: FSTextTransformer
+    vae: AutoencoderKL
+    clip: CLIPTextModel
+    unet_params: Any
+    fstext_params: Any
+    vae_params: Any
+    clip_params: Any
+
+    @staticmethod
+    def initialize(
+        rng: jax.Array,
+        num_frames: int = 12,
+        unet_config: Optional[SeerUNetConfig] = None,
+        vae_config=None,
+        clip_config=None,
+        fstext_kwargs: Optional[dict] = None,
+        dtype: jnp.dtype = jnp.bfloat16,
+        param_dtype: jnp.dtype = jnp.float32,
+        latent_size: int = 32,
+        remat: bool = False,
+    ) -> "SeerModels":
+        """Random initialization (weights are loaded separately via io.convert)."""
+        from ..models.clip_text import CLIP_VIT_L14_TEXT_CONFIG
+        from ..models.vae import SD15_VAE_CONFIG
+
+        k1, k2, k3, k4 = jax.random.split(rng, 4)
+        kw = dict(dtype=dtype, param_dtype=param_dtype)
+        unet_config = unet_config or SeerUNetConfig()
+        clip_config = clip_config or CLIP_VIT_L14_TEXT_CONFIG
+        vae_config = vae_config or SD15_VAE_CONFIG
+        unet = SeerUNet(config=unet_config, remat=remat, **kw)
+        fstext = FSTextTransformer(
+            num_frames=num_frames,
+            **{
+                "in_channels": unet_config.cross_attention_dim,
+                "out_channels": unet_config.cross_attention_dim,
+                "cross_attention_dim": unet_config.cross_attention_dim,
+                **(fstext_kwargs or {}),
+            },
+            **kw,
+        )
+        vae = AutoencoderKL(config=vae_config, **kw)
+        clip = CLIPTextModel(config=clip_config, **kw)
+        f, s = num_frames, latent_size
+        seq = clip_config.max_position_embeddings
+        ctx_dim = unet_config.cross_attention_dim
+        unet_params = unet.init(
+            k1, jnp.zeros((1, f, s, s, unet_config.in_channels)),
+            jnp.zeros((1,), jnp.int32), jnp.zeros((1, f, seq, ctx_dim)), 0,
+        )["params"]
+        fstext_params = fstext.init(k2, jnp.zeros((1, seq, ctx_dim)))["params"]
+        scale = 2 ** (len(vae_config.block_out_channels) - 1)
+        vae_params = vae.init(k3, jnp.zeros((1, scale * s, scale * s, 3)))["params"]
+        clip_params = clip.init(k4, jnp.zeros((1, seq), jnp.int32))["params"]
+        return SeerModels(unet, fstext, vae, clip, unet_params, fstext_params,
+                          vae_params, clip_params)
+
+
+class SeerPipeline:
+    """Jit-cached sampling pipeline over a SeerModels bundle."""
+
+    def __init__(self, models: SeerModels, schedule: Optional[DiffusionSchedule] = None):
+        self.m = models
+        # reference sampler schedule defaults (ddim_video.py:27-29)
+        self.schedule = schedule or DiffusionSchedule.create(1000)
+
+        self._encode_text = jax.jit(
+            lambda p, ids, mask: self.m.clip.apply({"params": p}, ids, mask)
+        )
+        self._fstext = jax.jit(
+            lambda p, ctx: self.m.fstext.apply({"params": p}, ctx)
+        )
+        self._vae_encode = jax.jit(
+            lambda p, x, rng: self.m.vae.apply(
+                {"params": p}, x, rng, method=self.m.vae.encode
+            ) * VAE_SCALE
+        )
+        self._vae_decode = jax.jit(
+            lambda p, z: self.m.vae.apply(
+                {"params": p}, z / VAE_SCALE, method=self.m.vae.decode
+            )
+        )
+
+    # --- text ---
+    def encode_text(self, input_ids: np.ndarray, attention_mask: np.ndarray) -> jnp.ndarray:
+        return self._encode_text(
+            self.m.clip_params, jnp.asarray(input_ids), jnp.asarray(attention_mask)
+        )
+
+    def fstext(self, clip_emb: jnp.ndarray) -> jnp.ndarray:
+        return self._fstext(self.m.fstext_params, clip_emb)
+
+    # --- vae (per-frame 2D over folded frames) ---
+    def vae_encode_video(self, video: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
+        """(b, f, h, w, 3) in [-1,1] -> (b, f, h/8, w/8, 4) scaled latents."""
+        b, f, h, w, c = video.shape
+        z = self._vae_encode(self.m.vae_params, video.reshape(b * f, h, w, c), rng)
+        return z.reshape(b, f, *z.shape[1:])
+
+    def vae_decode_video(self, latents: jnp.ndarray) -> jnp.ndarray:
+        """(b, f, h', w', 4) scaled latents -> (b, f, h, w, 3) clamped [0,1]."""
+        b, f = latents.shape[:2]
+        x = self._vae_decode(self.m.vae_params, latents.reshape(b * f, *latents.shape[2:]))
+        x = x.reshape(b, f, *x.shape[1:])
+        return jnp.clip((x + 1.0) / 2.0, 0.0, 1.0)
+
+    # --- sampling ---
+    @functools.lru_cache(maxsize=8)
+    def _sample_fn(self, ddim_steps: int, guidance_scale: float, cond_frame: int,
+                   use_cfg: bool):
+        tables = self.schedule.ddim_tables(ddim_steps, eta=0.0)
+
+        def fn(unet_params, x_T, x0_emb, context, uncond_context):
+            def unet_apply(x, t, ctx, cf):
+                return self.m.unet.apply({"params": unet_params}, x, t, ctx, cf)
+
+            return ddim_sample_loop(
+                unet_apply, x_T, tables, context,
+                x0_emb=x0_emb,
+                uncond_context=uncond_context if use_cfg else None,
+                guidance_scale=guidance_scale if use_cfg else 1.0,
+                cond_frame=cond_frame,
+            )
+
+        return jax.jit(fn, donate_argnums=(1,))
+
+    def sample_latents(
+        self,
+        x_T: jnp.ndarray,
+        x0_emb: jnp.ndarray,
+        context: jnp.ndarray,
+        uncond_context: Optional[jnp.ndarray] = None,
+        ddim_steps: int = 30,
+        guidance_scale: float = 7.5,
+        cond_frame: int = 0,
+    ) -> jnp.ndarray:
+        """DDIM sample future-frame latents.
+
+        x_T: (b, f2, h', w', 4) noise; x0_emb: (b, f1, h', w', 4) clean
+        conditioning latents; context: (b, f1+f2, 77, 768) FSText embedding;
+        uncond_context: same shape (raw CLIP empty embedding per frame).
+        ``scale == 1.0`` disables CFG (reference ddim_sampling_utils.py:23-24).
+        """
+        use_cfg = uncond_context is not None and guidance_scale != 1.0
+        fn = self._sample_fn(ddim_steps, float(guidance_scale), int(cond_frame), use_cfg)
+        if not use_cfg:
+            uncond_context = context  # placeholder, unused
+        return fn(self.m.unet_params, x_T, x0_emb, context, uncond_context)
+
+    def generate(
+        self,
+        cond_video: jnp.ndarray,
+        input_ids: np.ndarray,
+        attention_mask: np.ndarray,
+        uncond_ids: np.ndarray,
+        uncond_mask: np.ndarray,
+        num_frames: int,
+        rng: jax.Array,
+        ddim_steps: int = 30,
+        guidance_scale: float = 7.5,
+        cond_frame: int = 0,
+    ) -> jnp.ndarray:
+        """Full path: cond frames (b, f1, h, w, 3) in [-1,1] + tokenized prompt
+        -> decoded future frames (b, f2, h, w, 3) in [0,1]."""
+        b, f1, h, w, _ = cond_video.shape
+        f2 = num_frames - f1
+        k_enc, k_noise = jax.random.split(rng)
+
+        clip_emb = self.encode_text(input_ids, attention_mask)
+        context = self.fstext(clip_emb)
+        if context.shape[1] != num_frames:
+            raise ValueError(
+                f"FSText was built for {context.shape[1]} frames but "
+                f"num_frames={num_frames}; rebuild with set_numframe semantics "
+                f"(FSTextTransformer(num_frames=...))"
+            )
+        uncond_emb = self.encode_text(uncond_ids, uncond_mask)
+        # uncond context = raw CLIP embedding expanded per frame (NOT FSText)
+        uncond_context = jnp.broadcast_to(
+            uncond_emb[:, None], (b, context.shape[1], *uncond_emb.shape[1:])
+        )
+
+        x0_emb = self.vae_encode_video(cond_video, k_enc)
+        scale = 2 ** (len(self.m.vae.config.block_out_channels) - 1)
+        x_T = jax.random.normal(
+            k_noise,
+            (b, f2, h // scale, w // scale, self.m.vae.config.latent_channels),
+            dtype=x0_emb.dtype,
+        )
+        latents = self.sample_latents(
+            x_T, x0_emb, context, uncond_context,
+            ddim_steps=ddim_steps, guidance_scale=guidance_scale, cond_frame=cond_frame,
+        )
+        return self.vae_decode_video(latents)

@@ -1,0 +1,13 @@
+from .optim import build_optimizer, trainable_mask, lr_schedule
+from .meters import RunningAverageMeter
+from .trainer import TrainState, make_train_step, prepare_batch_fn
+
+__all__ = [
+    "build_optimizer",
+    "trainable_mask",
+    "lr_schedule",
+    "RunningAverageMeter",
+    "TrainState",
+    "make_train_step",
+    "prepare_batch_fn",
+]

@@ -1,0 +1,78 @@
+"""Optimizer assembly: AdamW + cosine warmup + global-norm clip + partial freeze.
+
+Parity with the reference recipe (``train.py:205-263``): AdamW(betas 0.9/0.999,
+wd 1e-2, eps 1e-8), lr scaled by ``accum × batch × num_hosts`` when
+``scale_lr`` (``train.py:208-211``), diffusers "cosine" schedule with linear
+warmup, grad-norm clip 0.3 (``train.py:383``), and **only** the UNet's
+``temporal_attentions`` plus the whole FSText are trainable
+(``train.py:123-125,188-192,213``).  Gradient accumulation via
+``optax.MultiSteps``.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import optax
+
+
+def trainable_mask(params: dict) -> Any:
+    """True where trainable: params['unet'] paths containing
+    'temporal_attentions'; everything under params['fstext']."""
+
+    def mask_leaf(path, leaf) -> bool:
+        keys = [p.key if hasattr(p, "key") else str(p) for p in path]
+        if keys and keys[0] == "fstext":
+            return True
+        return any("temporal_attentions" in k for k in keys)
+
+    return jax.tree_util.tree_map_with_path(mask_leaf, params)
+
+
+def lr_schedule(name: str, learning_rate: float, warmup_steps: int,
+                total_steps: int) -> optax.Schedule:
+    """diffusers get_scheduler parity: 'cosine', 'linear', 'constant'[_with_warmup]."""
+    if name == "cosine":
+        return optax.warmup_cosine_decay_schedule(
+            0.0, learning_rate, warmup_steps, max(total_steps, warmup_steps + 1), 0.0
+        )
+    if name == "linear":
+        warmup = optax.linear_schedule(0.0, learning_rate, warmup_steps)
+        decay = optax.linear_schedule(learning_rate, 0.0, total_steps - warmup_steps)
+        return optax.join_schedules([warmup, decay], [warmup_steps])
+    if name in ("constant", "constant_with_warmup"):
+        warmup = optax.linear_schedule(0.0, learning_rate, warmup_steps)
+        return optax.join_schedules(
+            [warmup, optax.constant_schedule(learning_rate)], [warmup_steps]
+        )
+    raise ValueError(f"unknown lr scheduler '{name}'")
+
+
+def build_optimizer(
+    params: dict,
+    learning_rate: float,
+    scheduler: str = "cosine",
+    warmup_steps: int = 10000,
+    total_steps: int = 200000,
+    betas: tuple[float, float] = (0.9, 0.999),
+    weight_decay: float = 1e-2,
+    eps: float = 1e-8,
+    max_grad_norm: float = 0.3,
+    accumulation_steps: int = 1,
+) -> tuple[optax.GradientTransformation, optax.Schedule]:
+    """Returns (optimizer, schedule).  Frozen leaves receive zero updates."""
+    schedule = lr_schedule(scheduler, learning_rate, warmup_steps, total_steps)
+    inner = optax.chain(
+        optax.clip_by_global_norm(max_grad_norm),
+        optax.adamw(schedule, b1=betas[0], b2=betas[1], eps=eps,
+                    weight_decay=weight_decay),
+    )
+    mask = trainable_mask(params)
+    labels = jax.tree.map(lambda m: "train" if m else "freeze", mask)
+    tx = optax.multi_transform(
+        {"train": inner, "freeze": optax.set_to_zero()}, param_labels=labels
+    )
+    if accumulation_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accumulation_steps)
+    return tx, schedule

@@ -1,0 +1,126 @@
+"""The jitted data-parallel train step.
+
+Semantics of one step match the reference hot loop (``train.py:319-387``):
+
+1. FSText decomposes the (precomputed, frozen) CLIP embedding;
+2. the clean cond-frame latents are concatenated in front of the noised
+   future-frame latents (``train.py:364-365``);
+3. the UNet predicts ε with ``cond_frame=args.cond_frames``
+   (``train.py:367`` — training-only behavior, SURVEY §2.5.3);
+4. cond frames sliced off the prediction, MSE vs noise (or velocity),
+   optional FSText ``text_loss`` (``train.py:346-347,371-380``);
+5. AdamW step with global-norm clip and gradient accumulation.
+
+VAE/CLIP encoding is a separate jitted "prepare" function — those models
+are frozen, so keeping them out of the differentiated step saves memory and
+compile time.  Under a data-parallel mesh the batch is sharded on axis 0;
+XLA inserts the gradient all-reduce (the DDP/NCCL equivalent, SURVEY §2.4).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..diffusion.ddpm import add_noise, get_velocity
+from ..diffusion.schedules import DiffusionSchedule
+from ..models.vae import VAE_SCALE
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any  # {"unet": ..., "fstext": ...}
+    opt_state: Any
+
+    @staticmethod
+    def create(params: dict, tx: optax.GradientTransformation) -> "TrainState":
+        return TrainState(
+            step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params)
+        )
+
+
+def prepare_batch_fn(models) -> Callable:
+    """Jitted frozen-encoder pass: (video, ids, mask, rng) -> latent batch.
+
+    video: (b, f, h, w, 3) in [-1, 1]; returns dict with ``latents_x0``
+    (cond frames), ``latents`` (future frames), ``clip_emb``.
+    """
+    clip, vae = models.clip, models.vae
+    clip_params, vae_params = models.clip_params, models.vae_params
+
+    @functools.partial(jax.jit, static_argnames=("cond_frames",))
+    def prepare(video, input_ids, attention_mask, rng, cond_frames: int):
+        b, f, h, w, c = video.shape
+        clip_emb = clip.apply({"params": clip_params}, input_ids, attention_mask)
+        k0, k1 = jax.random.split(rng)
+        flat = video.reshape(b * f, h, w, c)
+        z = vae.apply({"params": vae_params}, flat, k0, method=vae.encode) * VAE_SCALE
+        z = z.reshape(b, f, *z.shape[1:])
+        return {
+            "latents_x0": z[:, :cond_frames],
+            "latents": z[:, cond_frames:],
+            "clip_emb": clip_emb,
+        }
+
+    return prepare
+
+
+def make_train_step(
+    models,
+    tx: optax.GradientTransformation,
+    schedule: Optional[DiffusionSchedule] = None,
+    cond_frames: int = 2,
+    prediction_type: str = "epsilon",
+    text_loss: bool = False,
+) -> Callable:
+    """Build the jitted train step: (state, batch, rng) -> (state, metrics)."""
+    train_schedule = schedule or DiffusionSchedule.sd15_train_schedule()
+    acp = jnp.asarray(train_schedule.alphas_cumprod)
+    num_timesteps = train_schedule.num_timesteps
+    unet, fstext = models.unet, models.fstext
+
+    def loss_fn(params, batch, noise, timesteps):
+        context = fstext.apply({"params": params["fstext"]}, batch["clip_emb"])
+        loss_text = 0.0
+        if text_loss:
+            # FSText init objective (train.py:346-347)
+            loss_text = jnp.mean(
+                (context.mean(axis=1) - batch["clip_emb"]) ** 2
+            )
+        latents = batch["latents"]
+        noisy = add_noise(acp, latents, noise, timesteps)
+        x_in = jnp.concatenate([batch["latents_x0"], noisy], axis=1)
+        pred = unet.apply(
+            {"params": params["unet"]}, x_in, timesteps, context, cond_frames
+        )[:, cond_frames:]
+        if prediction_type == "epsilon":
+            target = noise
+        elif prediction_type == "v_prediction":
+            target = get_velocity(acp, latents, noise, timesteps)
+        else:
+            raise ValueError(f"unknown prediction type {prediction_type}")
+        loss = jnp.mean((pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2)
+        return loss + loss_text, {"mse": loss}
+
+    @jax.jit
+    def train_step(state: TrainState, batch: dict, rng: jax.Array):
+        k_noise, k_t = jax.random.split(jax.random.fold_in(rng, state.step))
+        latents = batch["latents"]
+        noise = jax.random.normal(k_noise, latents.shape, dtype=jnp.float32).astype(
+            latents.dtype
+        )
+        timesteps = jax.random.randint(k_t, (latents.shape[0],), 0, num_timesteps)
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, noise, timesteps
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        gnorm = optax.global_norm(grads)
+        new_state = TrainState(step=state.step + 1, params=params, opt_state=opt_state)
+        return new_state, {"loss": loss, "grad_norm": gnorm, **aux}
+
+    return train_step

@@ -151,3 +151,43 @@ class CLIPTokenizer:
             input_ids[i, : len(ids)] = np.asarray(ids, dtype=np.int32)
             attention_mask[i, : len(ids)] = 1
         return {"input_ids": input_ids, "attention_mask": attention_mask}
+
+
+class DebugTokenizer:
+    """Deterministic hash tokenizer for offline smoke tests (no vocab files).
+
+    NOT CLIP-compatible — produces stable ids in [0, vocab) so the pipeline
+    can run end-to-end with random weights when no CLIP vocab is available.
+    """
+
+    def __init__(self, vocab_size: int = 49408, max_length: int = 77):
+        self.vocab_size = vocab_size
+        self.max_length = max_length
+        self.bos_id = vocab_size - 2
+        self.eos_id = vocab_size - 1
+
+    @property
+    def model_max_length(self) -> int:
+        return self.max_length
+
+    def __call__(self, texts, padding="max_length", max_length=None, truncation=True):
+        if isinstance(texts, str):
+            texts = [texts]
+        max_length = max_length or self.max_length
+        input_ids = np.full((len(texts), max_length), self.eos_id, dtype=np.int32)
+        attention_mask = np.zeros((len(texts), max_length), dtype=np.int32)
+        for i, text in enumerate(texts):
+            words = text.lower().split()
+            ids = [self.bos_id] + [
+                int(hash(w) % (self.vocab_size - 2)) for w in words
+            ][: max_length - 2] + [self.eos_id]
+            input_ids[i, : len(ids)] = np.asarray(ids, dtype=np.int32)
+            attention_mask[i, : len(ids)] = 1
+        return {"input_ids": input_ids, "attention_mask": attention_mask}
+
+
+def build_tokenizer(tokenizer_path: Optional[str], max_length: int = 77):
+    """Load the real CLIP tokenizer from a local dir, else the debug fallback."""
+    if tokenizer_path:
+        return CLIPTokenizer.from_dir(tokenizer_path, max_length)
+    return DebugTokenizer(max_length=max_length)

@@ -1,0 +1,91 @@
+"""Visualization writers: animated GIFs and annotated PNG grids.
+
+Equivalent of reference ``utils/ddim_sampling_utils.py:46-123``
+(``save_visualization`` / ``save_visualization_onegif`` /
+``video_tensor_to_gif``), numpy-based.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+from PIL import Image
+
+
+def _to_uint8(video: np.ndarray) -> np.ndarray:
+    """(f, h, w, c) float [0,1] -> uint8."""
+    return (np.clip(video, 0.0, 1.0) * 255).astype(np.uint8)
+
+
+def video_to_gif(video: np.ndarray, path: str, duration: int = 120, loop: int = 0) -> None:
+    """video: (f, h, w, 3) float [0,1]."""
+    frames = [Image.fromarray(f) for f in _to_uint8(video)]
+    frames[0].save(
+        path, save_all=True, append_images=frames[1:], duration=duration,
+        loop=loop, optimize=True,
+    )
+
+
+def _pad(img: np.ndarray, pad: int = 2, value: float = 0.0) -> np.ndarray:
+    return np.pad(img, ((0, 0), (pad, pad), (pad, pad), (0, 0)), constant_values=value)
+
+
+def make_grid(videos: np.ndarray, nrow: int = 8) -> np.ndarray:
+    """(n, h, w, c) -> tiled grid image (H, W, c), torchvision-like."""
+    n, h, w, c = videos.shape
+    ncol = min(nrow, n)
+    nrows = (n + ncol - 1) // ncol
+    grid = np.zeros((nrows * h, ncol * w, c), dtype=videos.dtype)
+    for i in range(n):
+        r, col = divmod(i, ncol)
+        grid[r * h : (r + 1) * h, col * w : (col + 1) * w] = videos[i]
+    return grid
+
+
+def save_visualization(
+    samples: np.ndarray,
+    recon: Optional[np.ndarray],
+    gt: Optional[np.ndarray],
+    cond: Optional[np.ndarray],
+    results_folder: str,
+    global_step: int,
+    num_sample_rows: int = 2,
+) -> None:
+    """Write per-row GIFs + one PNG frame-grid.
+
+    samples/recon/gt: (b, f, h, w, 3) in [0,1]; cond: (b, f1, h, w, 3).
+    Rows: generated | VAE reconstruction | ground truth (+ cond frames left).
+    """
+    os.makedirs(results_folder, exist_ok=True)
+    rows = [("sample", samples)]
+    if recon is not None:
+        rows.append(("recon", recon))
+    if gt is not None:
+        rows.append(("gt", gt))
+
+    for name, vid in rows:
+        stacked = np.concatenate(list(vid), axis=2)  # (f, h, b*w, 3)
+        video_to_gif(stacked, os.path.join(results_folder, f"{name}-{global_step}.gif"))
+
+    # PNG grid: one row per (row-kind, batch element), frames along columns
+    panels = []
+    for _, vid in rows:
+        for b in range(vid.shape[0]):
+            frames = vid[b]
+            if cond is not None:
+                frames = np.concatenate([cond[b], frames], axis=0)
+            panels.append(np.concatenate(list(_pad(frames)), axis=1))
+    grid = np.concatenate(panels, axis=0)
+    Image.fromarray(_to_uint8(grid[None])[0]).save(
+        os.path.join(results_folder, f"grid-{global_step}.png")
+    )
+
+
+def save_visualization_onegif(
+    samples: np.ndarray, cond: np.ndarray, results_folder: str, global_step: int
+) -> None:
+    """Single-clip variant (reference inference_img path)."""
+    os.makedirs(results_folder, exist_ok=True)
+    full = np.concatenate([cond, samples], axis=1)  # (b, f1+f2, h, w, 3)
+    video_to_gif(full[0], os.path.join(results_folder, f"sample-{global_step}.gif"))

@@ -8,6 +8,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon TPU plugin (sitecustomize) overrides JAX_PLATFORMS from the env;
+# force CPU explicitly so tests run on the 8 virtual host devices.
+jax.config.update("jax_platforms", "cpu")
+
 # CPU backend lowers fp32 matmuls to reduced precision by default; parity
 # tests compare against torch fp32, so force full precision.
 jax.config.update("jax_default_matmul_precision", "highest")

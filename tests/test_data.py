@@ -1,0 +1,105 @@
+"""Data layer tests: cast_num_frames vs torch trilinear, transforms,
+loader determinism/sharding, tokenizer round-trips."""
+import json
+import os
+
+import numpy as np
+import pytest
+import torch
+
+from seervideoldm_tpu.data.loader import DataLoader
+from seervideoldm_tpu.data.transforms import cast_num_frames, resize_center_crop
+from seervideoldm_tpu.utils.tokenizer import CLIPTokenizer, DebugTokenizer
+
+
+def test_cast_num_frames_matches_torch_trilinear():
+    rng = np.random.RandomState(0)
+    video = rng.randn(20, 8, 8, 3).astype(np.float32)  # (f, h, w, c)
+    got = cast_num_frames(video, 12)
+    # torch path: (c, f, h, w) trilinear (data_utils.py:28)
+    t = torch.from_numpy(video).permute(3, 0, 1, 2).unsqueeze(0)
+    want = (
+        torch.nn.functional.interpolate(t, size=(12, 8, 8), mode="trilinear")
+        .squeeze(0).permute(1, 2, 3, 0).numpy()
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_cast_num_frames_pad_and_identity():
+    video = np.ones((5, 4, 4, 3), dtype=np.float32)
+    out = cast_num_frames(video, 8)
+    assert out.shape == (8, 4, 4, 3)
+    np.testing.assert_array_equal(out[5:], 0.0)
+    assert cast_num_frames(video, 5) is video
+
+
+def test_resize_center_crop():
+    from PIL import Image
+
+    img = Image.new("RGB", (100, 60), (255, 0, 0))
+    out = resize_center_crop(img, 32)
+    assert out.size == (32, 32)
+
+
+class _FakeDataset:
+    def __len__(self):
+        return 20
+
+    def __getitem__(self, i):
+        return np.full((2, 4, 4, 3), i, dtype=np.float32), f"prompt {i}"
+
+
+def test_loader_deterministic_shuffle_and_sharding():
+    ds = _FakeDataset()
+    l1 = DataLoader(ds, 2, shuffle=True, seed=7, num_workers=2)
+    l1.set_epoch(3)
+    order1 = [v[0, 0, 0, 0, 0] for v, _ in l1]
+    l2 = DataLoader(ds, 2, shuffle=True, seed=7, num_workers=2)
+    l2.set_epoch(3)
+    order2 = [v[0, 0, 0, 0, 0] for v, _ in l2]
+    assert order1 == order2  # same (seed, epoch) -> same order
+    l2.set_epoch(4)
+    assert [v[0, 0, 0, 0, 0] for v, _ in l2] != order1
+
+    # shards partition the data
+    shard_items = set()
+    for shard in range(2):
+        ld = DataLoader(ds, 1, shuffle=False, shard_index=shard, num_shards=2)
+        shard_items |= {int(v[0, 0, 0, 0, 0]) for v, _ in ld}
+    assert shard_items == set(range(20))
+
+
+def test_debug_tokenizer_shapes():
+    tok = DebugTokenizer(max_length=16)
+    out = tok(["hello world", "a"])
+    assert out["input_ids"].shape == (2, 16)
+    assert out["attention_mask"][0].sum() == 4  # bos + 2 words + eos
+    out2 = tok(["hello world"])
+    np.testing.assert_array_equal(out["input_ids"][0], out2["input_ids"][0])
+
+
+def test_clip_tokenizer_bpe(tmp_path):
+    """Tiny synthetic vocab exercising BPE merges and special tokens."""
+    vocab = {}
+    for ch in "abcdehlorw ":
+        vocab[ch] = len(vocab)
+        vocab[ch + "</w>"] = len(vocab)
+    for tok in ["he", "ll", "hell", "o</w>", "hello</w>", "wo", "wor", "world</w>"]:
+        vocab[tok] = len(vocab)
+    vocab["<|startoftext|>"] = len(vocab)
+    vocab["<|endoftext|>"] = len(vocab)
+    merges = [("h", "e"), ("l", "l"), ("he", "ll"), ("o", "</w>"),
+              ("hell", "o</w>"), ("w", "o"), ("wo", "r"), ("wor", "ld</w>"),
+              ("l", "d</w>")]
+    with open(tmp_path / "vocab.json", "w") as f:
+        json.dump(vocab, f)
+    with open(tmp_path / "merges.txt", "w") as f:
+        f.write("#version: 0.2\n")
+        f.write("\n".join(" ".join(m) for m in merges))
+    tok = CLIPTokenizer.from_dir(str(tmp_path), max_length=8)
+    out = tok(["hello"])
+    ids = out["input_ids"][0]
+    assert ids[0] == tok.bos_id
+    assert ids[1] == vocab["hello</w>"]
+    assert ids[2] == tok.eos_id
+    assert out["attention_mask"][0].sum() == 3

@@ -1,0 +1,175 @@
+"""Fine-tuning driver (reference ``train.py`` equivalent).
+
+Usage: ``python train.py --config ./configs/train.yaml`` — same YAML keys as
+the reference; accelerate launch is replaced by JAX's mesh-based data
+parallelism (one process drives all local chips; multi-host via
+``jax.distributed``).
+
+Recipe parity: AdamW over temporal-attentions + FSText only, lr scaled by
+accum × batch × hosts, cosine warmup, grad clip 0.3, ε-MSE on VAE latents
+with the clean cond-frame latents concatenated in front (reference
+``train.py:319-387``).  Checkpoints: ``learned_sdunet-steps-<N>/`` (Orbax,
+async) + tensorboard logs + loss/lr PNGs.
+"""
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from seervideoldm_tpu.config import parse_args
+from seervideoldm_tpu.data import DataLoader, build_dataset
+from seervideoldm_tpu.io.checkpoint import CheckpointManager
+from seervideoldm_tpu.parallel.mesh import batch_sharding, create_mesh, replicate
+from seervideoldm_tpu.pipelines.loading import load_models
+from seervideoldm_tpu.training.meters import RunningAverageMeter
+from seervideoldm_tpu.training.optim import build_optimizer
+from seervideoldm_tpu.training.trainer import TrainState, make_train_step, prepare_batch_fn
+
+
+def plot_graphs(losses: RunningAverageMeter, lrs: RunningAverageMeter,
+                output_dir: str) -> None:
+    """Loss/LR PNGs (reference ``train.py:415-435``)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        for meter, name in ((losses, "loss"), (lrs, "lr")):
+            if not meter.vals:
+                continue
+            plt.figure()
+            plt.plot(meter.steps, meter.vals)
+            plt.xlabel("step")
+            plt.ylabel(name)
+            plt.savefig(os.path.join(output_dir, f"{name}.png"))
+            plt.close()
+    except Exception as exc:  # plotting must never kill training
+        print(f"plot_graphs failed: {exc}")
+
+
+def main() -> None:
+    cfg = parse_args("Seer TPU fine-tuning")
+    os.makedirs(cfg.output_dir, exist_ok=True)
+    rng = jax.random.PRNGKey(cfg.seed)
+
+    mesh = create_mesh(cfg.mesh_shape)
+    num_hosts = jax.process_count()
+
+    if cfg.scale_lr:
+        cfg.learning_rate = (
+            cfg.learning_rate * cfg.gradient_accumulation_steps
+            * cfg.train_batch_size * num_hosts
+        )
+
+    models, tokenizer = load_models(cfg, rng)
+    params = {"unet": models.unet_params, "fstext": models.fstext_params}
+    tx, schedule_fn = build_optimizer(
+        params,
+        cfg.learning_rate,
+        scheduler=cfg.lr_scheduler,
+        warmup_steps=cfg.lr_warmup_steps,
+        total_steps=cfg.max_train_steps,
+        betas=(cfg.adam_beta1, cfg.adam_beta2),
+        weight_decay=cfg.adam_weight_decay,
+        eps=cfg.adam_epsilon,
+        max_grad_norm=cfg.max_grad_norm,
+        accumulation_steps=cfg.gradient_accumulation_steps,
+    )
+    state = TrainState.create(params, tx)
+    state = jax.device_put(state, replicate(mesh))
+    train_step = make_train_step(
+        models, tx, cond_frames=cfg.cond_frames,
+        text_loss=bool(cfg.text_loss),
+    )
+    prepare = prepare_batch_fn(models)
+
+    dataset = build_dataset(
+        cfg.dataset, cfg.dataset_path or cfg.get("data_dir"),
+        cfg.resolution, cfg.num_frames, split="train",
+    )
+    loader = DataLoader(
+        dataset, cfg.train_batch_size, shuffle=True, seed=cfg.seed,
+        num_workers=int(cfg.get("num_workers", cfg.dataloader_num_workers)),
+        shard_index=jax.process_index(), num_shards=num_hosts,
+    )
+
+    ckpt = CheckpointManager(cfg.output_dir)
+    losses_train = RunningAverageMeter(0.99)
+    lr_meter = RunningAverageMeter(0.99)
+    global_step = 0
+    start_epoch = 0
+    if cfg.saved_global_step:
+        global_step = int(cfg.saved_global_step)
+        state = ckpt.restore(global_step, state)
+        meta_path = os.path.join(cfg.output_dir, f"learned_sdunet-steps-{global_step}.json")
+        if os.path.exists(meta_path):
+            import json
+
+            with open(meta_path) as f:
+                meta = json.load(f)
+            start_epoch = meta.get("epoch", 0)
+            losses_train.load_ckpt(meta["losses_train"])
+            lr_meter.load_ckpt(meta["lr_meter"])
+
+    try:
+        from tensorboardX import SummaryWriter
+
+        writer = SummaryWriter(os.path.join(cfg.output_dir, cfg.logging_dir))
+    except Exception:
+        writer = None
+
+    data_rng = jax.random.PRNGKey(cfg.seed + 1)
+    step_time = time.time()
+    for epoch in range(start_epoch, cfg.num_train_epochs):
+        loader.set_epoch(epoch)
+        for videos, prompts in loader:
+            tok = tokenizer(prompts)
+            videos = jax.device_put(
+                jnp.asarray(videos), batch_sharding(mesh, videos.ndim)
+            )
+            k_prep = jax.random.fold_in(data_rng, global_step)
+            batch = prepare(
+                videos, jnp.asarray(tok["input_ids"]),
+                jnp.asarray(tok["attention_mask"]), k_prep, cond_frames=cfg.cond_frames,
+            )
+            state, metrics = train_step(state, batch, data_rng)
+            global_step += 1
+            loss = float(metrics["loss"])
+            lr = float(schedule_fn(global_step))
+            losses_train.update(loss, global_step)
+            lr_meter.update(lr, global_step)
+            if writer is not None:
+                writer.add_scalar("loss", loss, global_step)
+                writer.add_scalar("lr", lr, global_step)
+            if global_step % 50 == 0:
+                dt = (time.time() - step_time) / 50
+                step_time = time.time()
+                print(f"step {global_step} loss {loss:.4f} lr {lr:.2e} "
+                      f"{dt * 1000:.0f} ms/step")
+            if global_step % cfg.save_steps == 0 and jax.process_index() == 0:
+                ckpt.save(global_step, state,
+                          params={"unet": state.params["unet"],
+                                  "fstext": state.params["fstext"]})
+                import json
+
+                with open(os.path.join(
+                        cfg.output_dir,
+                        f"learned_sdunet-steps-{global_step}.json"), "w") as f:
+                    json.dump({"epoch": epoch, "global_step": global_step,
+                               "lr_meter": lr_meter.ckpt(),
+                               "losses_train": losses_train.ckpt()}, f)
+                plot_graphs(losses_train, lr_meter, cfg.output_dir)
+            if global_step >= cfg.max_train_steps:
+                break
+        if global_step >= cfg.max_train_steps:
+            break
+    ckpt.wait()
+
+
+if __name__ == "__main__":
+    main()
