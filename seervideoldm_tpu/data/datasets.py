@@ -33,7 +33,13 @@ from .transforms import cast_num_frames, load_frame
 
 
 def _load_clip(paths: Sequence[str], resolution: int, num_frames: int) -> np.ndarray:
-    frames = np.stack([load_frame(str(p), resolution) for p in paths], axis=0)
+    frames = None
+    if all(str(p).lower().endswith((".jpg", ".jpeg")) for p in paths):
+        from .native import decode_frames
+
+        frames = decode_frames([str(p) for p in paths], resolution)
+    if frames is None:  # non-JPEG inputs or native loader unavailable
+        frames = np.stack([load_frame(str(p), resolution) for p in paths], axis=0)
     return cast_num_frames(frames, num_frames)
 
 

@@ -44,12 +44,25 @@ def dot_product_attention(
     v: jnp.ndarray,
     scale: float,
     mask: Optional[jnp.ndarray] = None,
+    causal: bool = False,
+    use_flash: bool = True,
 ) -> jnp.ndarray:
     """Multi-head attention with fp32 logits/softmax.
 
     q: (..., h, n, d), k/v: (..., h, m, d) — any number of leading batch dims.
-    ``mask`` broadcastable to (..., h, n, m), True = attend.
+    ``mask`` broadcastable to (..., h, n, m), True = attend.  ``causal=True``
+    applies the tril(m-n) mask; when no explicit ``mask`` is given and the
+    sequence is large enough, dispatches to the fused Pallas flash kernel.
     """
+    n, m = q.shape[-2], k.shape[-2]
+    if use_flash and mask is None and min(n, m) >= 0:
+        from .pallas.flash_attention import flash_attention, flash_attention_available
+
+        # flash path: worthwhile once the score matrix stops being tiny
+        if flash_attention_available() and n >= 128 and (not causal or n == m):
+            return flash_attention(q, k, v, scale, causal)
+    if causal and mask is None:
+        mask = causal_mask(n, m)
     logits = jnp.einsum("...nd,...md->...nm", q, k, preferred_element_type=jnp.float32)
     logits = logits * scale
     if mask is not None:
@@ -124,11 +137,12 @@ class CrossAttention(nn.Module):
             freqs_k = freqs_q if m == n else rotary_freqs(jnp.arange(m), rot_dim)
             q = apply_rotary(q, freqs_q)
             k = apply_rotary(k, freqs_k)
-            if self.causal and mask is None:
-                mask = causal_mask(n, m)
 
         scale = self.dim_head**-0.5
-        out = dot_product_attention(q, k, v, scale, mask=mask)
+        out = dot_product_attention(
+            q, k, v, scale, mask=mask,
+            causal=self.temporal and self.causal and mask is None,
+        )
         out = _merge_heads(out)
         return dense(self.query_dim, "to_out_0", True)(out)
 
@@ -187,17 +201,18 @@ class WindowTemporalAttention(nn.Module):
 
         if ws is None:
             # full-frame: one "window" of f*h*w tokens per (batch, head)
-            mask = causal_mask(n, n) if self.causal else None
-            out = dot_product_attention(q, k, v, scale, mask=mask)  # (b, H, n, d)
+            out = dot_product_attention(
+                q, k, v, scale, causal=self.causal, use_flash=self.use_flash
+            )  # (b, H, n, d)
         else:
             bh = b * self.heads
             grid = lambda t: t.reshape(bh, f, h, w, self.dim_head)  # noqa: E731
             qw = window_partition(grid(q), ws)  # (nW*bh, f*ws*ws, d)
             kw = window_partition(grid(k), ws)
             vw = window_partition(grid(v), ws)
-            tokens = f * ws * ws
-            mask = causal_mask(tokens, tokens) if self.causal else None
-            ow = dot_product_attention(qw, kw, vw, scale, mask=mask)
+            ow = dot_product_attention(
+                qw, kw, vw, scale, causal=self.causal, use_flash=self.use_flash
+            )
             out = window_reverse(ow, ws, f, h, w)  # (bh, f, h, w, d)
             out = out.reshape(b, self.heads, n, self.dim_head)
 

@@ -1,0 +1,196 @@
+"""Fused flash attention for TPU (Pallas).
+
+One kernel covers the model's three attention shapes (SURVEY §2.3):
+
+- per-frame spatial self-attention (seq = h*w up to 4096, the 512px hot spot);
+- per-frame text cross-attention (kv = 77 CLIP tokens);
+- SWAT windowed causal spatio-temporal attention (seq = f·win², causal
+  lower-triangular over f-major window tokens).
+
+Online-softmax streaming over K/V blocks: logits never hit HBM.  fp32
+accumulation for max/denominator/output; inputs stay bf16 on the MXU.
+Causal blocks above the diagonal are skipped entirely (not just masked).
+
+The public wrapper pads seq and head_dim to hardware tiles, dispatches the
+grid over (batch·heads, q-blocks, kv-blocks), and exposes a ``custom_vjp``
+whose backward recomputes attention with einsum under XLA — exact gradients;
+a fused backward kernel is a later optimization.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+try:  # pragma: no cover - exercised on TPU
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PLTPU = True
+except Exception:  # pragma: no cover
+    pltpu = None
+    _HAS_PLTPU = False
+
+NEG_INF = -1e30
+
+# Test hook: run kernels in the Pallas interpreter (works on CPU).
+_INTERPRET = False
+
+
+def flash_attention_available() -> bool:
+    return _INTERPRET or (_HAS_PLTPU and jax.default_backend() in ("tpu", "axon"))
+
+
+def _block_sizes(q_len: int, kv_len: int) -> tuple[int, int]:
+    bq = min(512, max(128, 1 << int(np.ceil(np.log2(max(q_len, 1))))))
+    bq = min(bq, 512)
+    bk = min(512, max(128, 1 << int(np.ceil(np.log2(max(kv_len, 1))))))
+    bk = min(bk, 512)
+    return bq, bk
+
+
+def _kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
+            scale: float, causal: bool, q_len: int, kv_len: int,
+            bq: int, bk: int, num_kv: int):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    i = pl.program_id(1)
+
+    def compute():
+        q = q_ref[0]  # (bq, d)
+        k = k_ref[0]  # (bk, d)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (bq, bk)
+
+        rows = i * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+        cols = j * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        mask = cols < kv_len
+        if causal:
+            mask = jnp.logical_and(mask, cols <= rows)
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_scr[:, 0][:, None]  # (bq, 1)
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)  # (bq, 1)
+        p = jnp.exp(s - m_new)  # (bq, bk) fp32
+        l_new = l_scr[:, 0][:, None] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scr[:] = acc_scr[:] * alpha + pv
+        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+        l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    if causal:
+        # skip fully-masked blocks above the diagonal
+        @pl.when(j * bk <= i * bq + (bq - 1))
+        def _():
+            compute()
+    else:
+        compute()
+
+    @pl.when(j == num_kv - 1)
+    def _finish():
+        denom = l_scr[:, 0][:, None]
+        denom = jnp.where(denom == 0.0, 1.0, denom)
+        o_ref[0] = (acc_scr[:] / denom).astype(o_ref.dtype)
+
+
+def _flash_forward(q, k, v, scale: float, causal: bool):
+    """q: (B, Sq, D), k/v: (B, Skv, D) — B = batch*heads folded."""
+    batch, q_len, d = q.shape
+    kv_len = k.shape[1]
+    bq, bk = _block_sizes(q_len, kv_len)
+
+    d_pad = max(128, int(np.ceil(d / 128)) * 128)
+    q_pad = int(np.ceil(q_len / bq)) * bq
+    kv_pad = int(np.ceil(kv_len / bk)) * bk
+
+    qp = jnp.pad(q, ((0, 0), (0, q_pad - q_len), (0, d_pad - d)))
+    kp = jnp.pad(k, ((0, 0), (0, kv_pad - kv_len), (0, d_pad - d)))
+    vp = jnp.pad(v, ((0, 0), (0, kv_pad - kv_len), (0, d_pad - d)))
+
+    num_q = q_pad // bq
+    num_kv = kv_pad // bk
+    grid = (batch, num_q, num_kv)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, scale=scale, causal=causal, q_len=q_len, kv_len=kv_len,
+            bq=bq, bk=bk, num_kv=num_kv,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, d_pad), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bk, d_pad), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, bk, d_pad), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d_pad), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((batch, q_pad, d_pad), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, d_pad), jnp.float32),
+        ],
+        compiler_params=None if _INTERPRET else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_INTERPRET,
+    )(qp, kp, vp)
+    return out[:, :q_len, :d]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def flash_attention(q, k, v, scale: float, causal: bool = False):
+    """Fused attention. q: (..., Sq, D), k/v: (..., Skv, D); leading dims fold.
+
+    Causal = lower-triangular over the (f-major) token order — the SWAT /
+    xformers semantics (SURVEY §2.5.1).
+    """
+    lead = q.shape[:-2]
+    qf = q.reshape((-1,) + q.shape[-2:])
+    kf = k.reshape((-1,) + k.shape[-2:])
+    vf = v.reshape((-1,) + v.shape[-2:])
+    out = _flash_forward(qf, kf, vf, scale, causal)
+    return out.reshape(lead + out.shape[-2:])
+
+
+def _fwd(q, k, v, scale, causal):
+    return flash_attention(q, k, v, scale, causal), (q, k, v)
+
+
+def _bwd(scale, causal, residuals, g):
+    """Exact backward by recomputation with einsum (XLA fuses well here)."""
+    q, k, v = residuals
+    logits = jnp.einsum("...nd,...md->...nm", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if causal:
+        n, m = logits.shape[-2], logits.shape[-1]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (n, m), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (n, m), 1)
+        logits = jnp.where(cols <= rows + (m - n), logits, NEG_INF)
+    p = jax.nn.softmax(logits, axis=-1)
+    g32 = g.astype(jnp.float32)
+    v32 = v.astype(jnp.float32)
+    dv = jnp.einsum("...nm,...nd->...md", p, g32)
+    dp = jnp.einsum("...nd,...md->...nm", g32, v32)
+    delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+    ds = p * (dp - delta) * scale
+    dq = jnp.einsum("...nm,...md->...nd", ds, k.astype(jnp.float32))
+    dk = jnp.einsum("...nm,...nd->...md", ds, q.astype(jnp.float32))
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+flash_attention.defvjp(_fwd, _bwd)

@@ -88,6 +88,8 @@ def test_train_step_data_parallel(tiny_models):
     state2, metrics = train_step(state, batch, jax.random.PRNGKey(4))
     assert np.isfinite(float(metrics["loss"]))
     assert int(state2.step) == 1
+    # step 0 uses warmup lr=0; take a second step so trainable params move
+    state2, metrics = train_step(state2, batch, jax.random.PRNGKey(5))
 
     mask = trainable_mask(params)
     changed = jax.tree.map(
