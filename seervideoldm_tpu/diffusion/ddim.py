@@ -106,3 +106,46 @@ def ddim_sample_loop(
     )
     final, _ = jax.lax.scan(step, x_T, per_step)
     return final
+
+
+def stochastic_encode(
+    tables: DDIMTables,
+    x0: jnp.ndarray,
+    step_index: jnp.ndarray,
+    noise: jnp.ndarray,
+) -> jnp.ndarray:
+    """Jump-forward encode to DDIM step ``step_index`` (reference
+    ``ddim_video.py:240-254``): x = sqrt(ᾱ)·x0 + sqrt(1-ᾱ)·ε.
+
+    ``step_index`` indexes the *forward-ordered* DDIM subsequence (low noise
+    at 0), matching the reference's use of the un-reversed tables.
+    """
+    alphas_fwd = jnp.asarray(tables.alphas)[::-1]  # forward order
+    a = jnp.take(alphas_fwd, step_index)
+    a = a.reshape(a.shape + (1,) * (x0.ndim - a.ndim))
+    return jnp.sqrt(a) * x0 + jnp.sqrt(1.0 - a) * noise
+
+
+def ddim_decode_loop(
+    unet_apply: UNetApply,
+    x_latent: jnp.ndarray,
+    tables: DDIMTables,
+    context: jnp.ndarray,
+    t_start: int,
+    uncond_context: Optional[jnp.ndarray] = None,
+    guidance_scale: float = 1.0,
+) -> jnp.ndarray:
+    """Decode from an intermediate step (reference ``ddim_video.py:256-275``):
+    run only the last ``t_start`` reverse steps of the subsequence."""
+    num = tables.timesteps.shape[0]
+    sliced = DDIMTables(
+        timesteps=tables.timesteps[num - t_start :],
+        alphas=tables.alphas[num - t_start :],
+        alphas_prev=tables.alphas_prev[num - t_start :],
+        sigmas=tables.sigmas[num - t_start :],
+        sqrt_one_minus_alphas=tables.sqrt_one_minus_alphas[num - t_start :],
+    )
+    return ddim_sample_loop(
+        unet_apply, x_latent, sliced, context,
+        uncond_context=uncond_context, guidance_scale=guidance_scale,
+    )

@@ -71,6 +71,38 @@ def dot_product_attention(
     return jnp.einsum("...nm,...md->...nd", probs, v)
 
 
+def sliced_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float,
+    slice_size: int,
+    causal: bool = False,
+) -> jnp.ndarray:
+    """Attention computed in ``slice_size`` chunks of the head axis.
+
+    API-parity with the reference's ``set_attention_slice`` memory-saving
+    path (``unet_3d_condition.py:214-277``, ``attention.py:586-620``).  On
+    TPU the fused flash kernel already bounds memory (logits never hit HBM),
+    so this exists for API completeness and for the einsum fallback; chunks
+    are mapped sequentially with ``lax.map``.
+
+    q/k/v: (b, h, n|m, d); ``slice_size`` divides h.
+    """
+    b, h, n, d = q.shape
+    assert h % slice_size == 0, f"slice_size {slice_size} must divide heads {h}"
+    chunks = h // slice_size
+
+    def chunk_fn(args):
+        qc, kc, vc = args
+        return dot_product_attention(qc, kc, vc, scale, causal=causal,
+                                     use_flash=False)
+
+    reshape = lambda t: t.reshape(b, chunks, slice_size, t.shape[2], d).swapaxes(0, 1)  # noqa: E731
+    out = jax.lax.map(chunk_fn, (reshape(q), reshape(k), reshape(v)))
+    return out.swapaxes(0, 1).reshape(b, h, n, d)
+
+
 def _split_heads(x: jnp.ndarray, heads: int) -> jnp.ndarray:
     """(b, n, h*d) -> (b, h, n, d)."""
     b, n, hd = x.shape

@@ -1,0 +1,112 @@
+"""DDIM scan-loop semantics with mock UNets: update formula, x0_emb
+re-concat + slice, CFG batching/order, eta-noise path."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from seervideoldm_tpu.diffusion.ddim import ddim_sample_loop
+from seervideoldm_tpu.diffusion.schedules import DiffusionSchedule
+
+
+def make_tables(steps=5):
+    return DiffusionSchedule.create(1000).ddim_tables(steps)
+
+
+def test_single_step_matches_closed_form():
+    tables = make_tables(1)
+    eps_val = 0.37
+
+    def unet(x, t, ctx, cf):
+        return jnp.full_like(x, eps_val)
+
+    x = jnp.ones((1, 2, 4, 4, 4)) * 2.0
+    ctx = jnp.zeros((1, 2, 1, 8))
+    out = np.asarray(ddim_sample_loop(unet, x, tables, ctx))
+    a_t = tables.alphas[0]
+    a_prev = tables.alphas_prev[0]
+    sqrt_1m = tables.sqrt_one_minus_alphas[0]
+    pred_x0 = (2.0 - sqrt_1m * eps_val) / np.sqrt(a_t)
+    want = np.sqrt(a_prev) * pred_x0 + np.sqrt(1 - a_prev) * eps_val
+    np.testing.assert_allclose(out, want, rtol=1e-5)
+
+
+def test_x0_emb_concat_and_slice():
+    """UNet sees cond+future frames; only future frames are denoised."""
+    tables = make_tables(2)
+    seen_frames = []
+
+    def unet(x, t, ctx, cf):
+        seen_frames.append(x.shape[1])
+        # eps = per-frame index so the slice offset is observable
+        idx = jnp.arange(x.shape[1], dtype=x.dtype).reshape(1, -1, 1, 1, 1)
+        return jnp.broadcast_to(idx, x.shape)
+
+    x0_emb = jnp.zeros((1, 2, 4, 4, 4))
+    x = jnp.zeros((1, 3, 4, 4, 4))
+    ctx = jnp.zeros((1, 5, 1, 8))
+    out = ddim_sample_loop(unet, x, tables, ctx, x0_emb=x0_emb)
+    assert out.shape == (1, 3, 4, 4, 4)
+    assert seen_frames[0] == 5  # 2 cond + 3 future
+    # future-frame eps values are 2, 3, 4 (cond frames sliced off)
+    out = np.asarray(out)
+    assert not np.allclose(out[0, 0], out[0, 1])
+
+
+def test_cfg_batching_order_and_formula():
+    """[uncond; cond] order and e = e_u + s*(e_c - e_u)."""
+    tables = make_tables(1)
+    scale = 3.0
+
+    def unet(x, t, ctx, cf):
+        # context value distinguishes the halves: eps = mean(ctx)
+        val = ctx.mean(axis=(1, 2, 3)).reshape(-1, 1, 1, 1, 1)
+        return jnp.broadcast_to(val, x.shape).astype(x.dtype)
+
+    x = jnp.zeros((1, 2, 4, 4, 4))
+    cond_ctx = jnp.full((1, 2, 1, 8), 1.0)
+    uncond_ctx = jnp.full((1, 2, 1, 8), 0.25)
+    out_cfg = np.asarray(ddim_sample_loop(
+        unet, x, tables, cond_ctx, uncond_context=uncond_ctx, guidance_scale=scale
+    ))
+    e_t = 0.25 + scale * (1.0 - 0.25)
+    a_t = tables.alphas[0]
+    a_prev = tables.alphas_prev[0]
+    sqrt_1m = tables.sqrt_one_minus_alphas[0]
+    pred_x0 = (0.0 - sqrt_1m * e_t) / np.sqrt(a_t)
+    want = np.sqrt(a_prev) * pred_x0 + np.sqrt(1 - a_prev) * e_t
+    np.testing.assert_allclose(out_cfg, want, rtol=1e-5)
+
+
+def test_timesteps_fed_high_to_low():
+    tables = make_tables(4)
+    seen = []
+
+    def unet(x, t, ctx, cf):
+        seen.append(int(t[0]) if hasattr(t, "__getitem__") else int(t))
+        return jnp.zeros_like(x)
+
+    # trace-time check: run non-jitted over numpy tables via python loop
+    x = jnp.zeros((1, 1, 2, 2, 4))
+    ctx = jnp.zeros((1, 1, 1, 8))
+    # lax.scan traces once; instead verify the table ordering directly
+    assert list(tables.timesteps) == sorted(tables.timesteps, reverse=True)
+    assert tables.timesteps[-1] == 1
+
+
+def test_eta_noise_changes_output_deterministically():
+    sched = DiffusionSchedule.create(1000)
+    tables = sched.ddim_tables(2, eta=1.0)
+
+    def unet(x, t, ctx, cf):
+        return jnp.zeros_like(x)
+
+    x = jnp.ones((1, 1, 2, 2, 4))
+    ctx = jnp.zeros((1, 1, 1, 8))
+    o1 = np.asarray(ddim_sample_loop(unet, x, tables, ctx,
+                                     eta_noise_key=jax.random.PRNGKey(0)))
+    o2 = np.asarray(ddim_sample_loop(unet, x, tables, ctx,
+                                     eta_noise_key=jax.random.PRNGKey(0)))
+    o3 = np.asarray(ddim_sample_loop(unet, x, tables, ctx,
+                                     eta_noise_key=jax.random.PRNGKey(1)))
+    np.testing.assert_array_equal(o1, o2)
+    assert not np.allclose(o1, o3)
