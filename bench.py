@@ -23,6 +23,9 @@ import numpy as np
 
 
 def main() -> None:
+    from seervideoldm_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--resolution", type=int, default=256)
     parser.add_argument("--num_frames", type=int, default=12)
@@ -74,16 +77,18 @@ def main() -> None:
         )
 
     fn = jax.jit(sample, donate_argnums=(2,))
-    # warmup/compile
+    # warmup/compile; a host transfer is the only reliable sync on the
+    # axon loopback relay (block_until_ready returns early there)
     out = fn(unet_params, fstext_params, x_T, x0_emb, clip_emb)
-    out.block_until_ready()
+    np.asarray(out)
 
     times = []
-    for _ in range(args.iters):
-        x_T_i = jax.random.normal(jax.random.PRNGKey(1), x_T.shape, dtype)
+    for i in range(args.iters):
+        x_T_i = jax.random.normal(jax.random.PRNGKey(i + 1), x_T.shape, dtype)
+        np.asarray(x_T_i)  # ensure input upload is not inside the timer
         t0 = time.perf_counter()
         out = fn(unet_params, fstext_params, x_T_i, x0_emb, clip_emb)
-        out.block_until_ready()
+        np.asarray(out)  # device->host sync
         times.append(time.perf_counter() - t0)
 
     dt = float(np.median(times))

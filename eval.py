@@ -28,6 +28,9 @@ def to_uint8(video01: np.ndarray) -> np.ndarray:
 
 
 def main() -> None:
+    from seervideoldm_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     cfg = parse_args("Seer TPU FVD/KVD/IS evaluation")
     rng = jax.random.PRNGKey(cfg.seed)
     k_model, k_eval = jax.random.split(rng)

@@ -24,6 +24,9 @@ from seervideoldm_tpu.utils.viz import save_visualization
 
 
 def main() -> None:
+    from seervideoldm_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     cfg = parse_args("Seer TPU batch inference")
     rng = jax.random.PRNGKey(cfg.seed)
     k_model, k_sample = jax.random.split(rng)

@@ -27,6 +27,9 @@ from seervideoldm_tpu.utils.viz import save_visualization_onegif
 
 
 def main() -> None:
+    from seervideoldm_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     cfg = parse_args(
         "Seer TPU single-image inference",
         extra_flags={"image_path": None, "input_text_prompts": None},

@@ -1,0 +1,24 @@
+"""Persistent XLA compilation cache.
+
+Full-scale SeerUNet compiles take tens of minutes through the axon
+remote-compile tunnel; caching them on disk makes the second run instant.
+Call once at process start (all entry points + bench do).
+"""
+from __future__ import annotations
+
+import os
+
+import jax
+
+DEFAULT_CACHE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", ".jax_cache")
+
+
+def enable_compilation_cache(cache_dir: str | None = None) -> None:
+    path = os.path.abspath(cache_dir or os.environ.get("JAX_CACHE_DIR", DEFAULT_CACHE_DIR))
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    try:
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass

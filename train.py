@@ -53,6 +53,9 @@ def plot_graphs(losses: RunningAverageMeter, lrs: RunningAverageMeter,
 
 
 def main() -> None:
+    from seervideoldm_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     cfg = parse_args("Seer TPU fine-tuning")
     os.makedirs(cfg.output_dir, exist_ok=True)
     rng = jax.random.PRNGKey(cfg.seed)
