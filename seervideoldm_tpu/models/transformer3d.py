@@ -63,6 +63,7 @@ class BasicTextTransformerBlock3D(nn.Module):
     n_heads: int
     d_head: int
     context_dim: Optional[int] = None
+    collect_attn: bool = False  # sow cross-attn maps (reference return_attn)
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -83,6 +84,7 @@ class BasicTextTransformerBlock3D(nn.Module):
                 cross_attention_dim=self.context_dim,
                 heads=self.n_heads,
                 dim_head=self.d_head,
+                collect_attn=self.collect_attn,
                 name="attn2",
                 **kw,
             )(LayerNorm(param_dtype=self.param_dtype, name="norm2")(x), context=ctx) + x
@@ -176,6 +178,7 @@ class SpatialTransformer3D(nn.Module):
     causal: bool = False
     cond_frame: int = 0
     norm_num_groups: int = 32  # reference hardcodes 32 (attention.py:109)
+    collect_attn: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -196,7 +199,8 @@ class SpatialTransformer3D(nn.Module):
             if self.text_frame_condition:
                 x = BasicTextTransformerBlock3D(
                     inner_dim, self.n_heads, self.d_head,
-                    context_dim=self.context_dim, name=f"transformer_blocks_{d}", **kw,
+                    context_dim=self.context_dim, collect_attn=self.collect_attn,
+                    name=f"transformer_blocks_{d}", **kw,
                 )(x, context=context)
             else:
                 x = BasicTransformerBlock3D(

@@ -62,6 +62,8 @@ class SeerUNet(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    collect_attn: bool = False  # reference return_attn: sow cross-attn maps
+    # retrieve with: unet.apply(..., mutable=["intermediates"])
 
     @nn.compact
     def __call__(
@@ -116,7 +118,8 @@ class SeerUNet(nn.Module):
                     cross_attention_dim=cfg.cross_attention_dim,
                     downsample_padding=cfg.downsample_padding,
                     add_downsample=True, text_frame_condition=True, causal=True,
-                    cond_frame=cond_frame, name=f"down_blocks_{i}", **kw,
+                    cond_frame=cond_frame, collect_attn=self.collect_attn,
+                    name=f"down_blocks_{i}", **kw,
                 )(sample, temb=emb, encoder_hidden_states=context)
             else:
                 sample, res_samples = maybe_remat(DownBlock3D)(
@@ -135,7 +138,7 @@ class SeerUNet(nn.Module):
             attn_num_head_channels=cfg.attention_head_dim,
             cross_attention_dim=cfg.cross_attention_dim,
             text_frame_condition=True, causal=True, cond_frame=cond_frame,
-            name="mid_block", **kw,
+            collect_attn=self.collect_attn, name="mid_block", **kw,
         )(sample, temb=emb, encoder_hidden_states=context)
 
         # --- up ---
@@ -166,7 +169,8 @@ class SeerUNet(nn.Module):
                     attn_num_head_channels=cfg.attention_head_dim,
                     cross_attention_dim=cfg.cross_attention_dim,
                     add_upsample=not is_final, text_frame_condition=True, causal=True,
-                    cond_frame=cond_frame, name=f"up_blocks_{i}", **kw,
+                    cond_frame=cond_frame, collect_attn=self.collect_attn,
+                    name=f"up_blocks_{i}", **kw,
                 )(sample, res_samples, temb=emb, encoder_hidden_states=context)
 
         # --- out (fp32 GroupNorm island, unet_3d_condition.py:365-370) ---

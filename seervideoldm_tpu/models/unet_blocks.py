@@ -35,6 +35,7 @@ class CrossAttnDownBlock3D(nn.Module):
     text_frame_condition: bool = True
     causal: bool = True
     cond_frame: int = 0
+    collect_attn: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -55,6 +56,7 @@ class CrossAttnDownBlock3D(nn.Module):
                 context_dim=self.cross_attention_dim,
                 text_frame_condition=self.text_frame_condition,
                 norm_num_groups=self.resnet_groups,
+                collect_attn=self.collect_attn,
                 name=f"attentions_{i}", **kw,
             )(hidden_states, context=encoder_hidden_states)
             hidden_states = SpatialTransformer3D(
@@ -117,6 +119,7 @@ class UNetMidBlock3DCrossAttn(nn.Module):
     text_frame_condition: bool = True
     causal: bool = True
     cond_frame: int = 0
+    collect_attn: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -136,6 +139,7 @@ class UNetMidBlock3DCrossAttn(nn.Module):
                 context_dim=self.cross_attention_dim,
                 text_frame_condition=self.text_frame_condition,
                 norm_num_groups=self.resnet_groups,
+                collect_attn=self.collect_attn,
                 name=f"attentions_{i}", **kw,
             )(hidden_states, context=encoder_hidden_states)
             hidden_states = SpatialTransformer3D(
@@ -164,6 +168,7 @@ class CrossAttnUpBlock3D(nn.Module):
     text_frame_condition: bool = True
     causal: bool = True
     cond_frame: int = 0
+    collect_attn: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -192,6 +197,7 @@ class CrossAttnUpBlock3D(nn.Module):
                 context_dim=self.cross_attention_dim,
                 text_frame_condition=self.text_frame_condition,
                 norm_num_groups=self.resnet_groups,
+                collect_attn=self.collect_attn,
                 name=f"attentions_{i}", **kw,
             )(hidden_states, context=encoder_hidden_states)
             hidden_states = SpatialTransformer3D(

@@ -130,6 +130,7 @@ class CrossAttention(nn.Module):
     temporal: bool = False
     causal: bool = False
     inp_dim: Optional[int] = None  # FSText vision-projection variant (attention.py:341-344)
+    collect_attn: bool = False  # sow attention maps (reference return_attn)
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -171,10 +172,21 @@ class CrossAttention(nn.Module):
             k = apply_rotary(k, freqs_k)
 
         scale = self.dim_head**-0.5
-        out = dot_product_attention(
-            q, k, v, scale, mask=mask,
-            causal=self.temporal and self.causal and mask is None,
-        )
+        causal = self.temporal and self.causal and mask is None
+        if self.collect_attn:
+            # reference return_attn path (attention.py:541-556): expose the
+            # raw attention scores; forces the einsum path
+            if causal and mask is None:
+                mask = causal_mask(n, m)
+            logits = jnp.einsum("...nd,...md->...nm", q, k,
+                                preferred_element_type=jnp.float32) * scale
+            if mask is not None:
+                logits = jnp.where(mask, logits, NEG_INF)
+            self.sow("intermediates", "attn", logits)
+            probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+            out = jnp.einsum("...nm,...md->...nd", probs, v)
+        else:
+            out = dot_product_attention(q, k, v, scale, mask=mask, causal=causal)
         out = _merge_heads(out)
         return dense(self.query_dim, "to_out_0", True)(out)
 
