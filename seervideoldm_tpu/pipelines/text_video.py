@@ -93,10 +93,18 @@ class SeerModels:
 
 
 class SeerPipeline:
-    """Jit-cached sampling pipeline over a SeerModels bundle."""
+    """Jit-cached sampling pipeline over a SeerModels bundle.
 
-    def __init__(self, models: SeerModels, schedule: Optional[DiffusionSchedule] = None):
+    With a ``mesh`` (axis ``data``), every batch input is sharded over the
+    data axis and params replicated — sampling/eval scale across chips with
+    XLA inserting the collectives (the reference's multi-GPU
+    ``accelerate.gather`` inference equivalent, SURVEY §2.4).
+    """
+
+    def __init__(self, models: SeerModels, schedule: Optional[DiffusionSchedule] = None,
+                 mesh=None):
         self.m = models
+        self.mesh = mesh
         # reference sampler schedule defaults (ddim_video.py:27-29)
         self.schedule = schedule or DiffusionSchedule.create(1000)
 
@@ -117,10 +125,18 @@ class SeerPipeline:
             )
         )
 
+    def _shard(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Shard a batch array over the data axis when a mesh is set."""
+        if self.mesh is None:
+            return jnp.asarray(x)
+        from ..parallel.mesh import batch_sharding
+
+        return jax.device_put(jnp.asarray(x), batch_sharding(self.mesh, np.ndim(x)))
+
     # --- text ---
     def encode_text(self, input_ids: np.ndarray, attention_mask: np.ndarray) -> jnp.ndarray:
         return self._encode_text(
-            self.m.clip_params, jnp.asarray(input_ids), jnp.asarray(attention_mask)
+            self.m.clip_params, self._shard(input_ids), self._shard(attention_mask)
         )
 
     def fstext(self, clip_emb: jnp.ndarray) -> jnp.ndarray:
@@ -200,6 +216,7 @@ class SeerPipeline:
         -> decoded future frames (b, f2, h, w, 3) in [0,1]."""
         b, f1, h, w, _ = cond_video.shape
         f2 = num_frames - f1
+        cond_video = self._shard(cond_video)
         k_enc, k_noise = jax.random.split(rng)
 
         clip_emb = self.encode_text(input_ids, attention_mask)

@@ -150,3 +150,19 @@ def test_converter_roundtrip_torch_linear_conv(tiny_models):
         w_conv.transpose(2, 3, 1, 0),
     )
     np.testing.assert_array_equal(np.asarray(tree["norm"]["scale"]), np.ones(6))
+
+
+def test_sharded_sampling_over_data_mesh(tiny_models):
+    """Batch sharded over 8 devices: sampling compiles and preserves sharding."""
+    from seervideoldm_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh({"data": 8})
+    pipe = SeerPipeline(tiny_models, mesh=mesh)
+    b = 8
+    cond = jnp.zeros((b, 1, 16, 16, 3))
+    ids = np.ones((b, 16), dtype=np.int32)
+    mask = np.ones((b, 16), dtype=np.int32)
+    out = pipe.generate(cond, ids, mask, ids, mask, num_frames=4,
+                        rng=jax.random.PRNGKey(3), ddim_steps=2, guidance_scale=7.5)
+    assert out.shape == (b, 3, 16, 16, 3)
+    assert "data" in str(out.sharding)
