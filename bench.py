@@ -7,7 +7,7 @@ Prints ONE JSON line:
 Protocol (BASELINE.md north star): 12-frame clip, DDIM sampling with CFG
 (2x batched UNet), cond_frames=2, SD-1.5-scale SeerUNet in bf16.  The
 resolution defaults to 256 px latents (32x32) — the reference training/eval
-recipe; pass --resolution 512 for the 512 px variant.  The baseline divisor
+recipe was 256 px; the driver benchmark (BASELINE.json) is 512 px — the default.  The baseline divisor
 is the A100 reference measurement when available in BASELINE.json, else 1.0
 (value is then the raw frames/s/chip).
 """
@@ -27,7 +27,7 @@ def main() -> None:
 
     enable_compilation_cache()
     parser = argparse.ArgumentParser()
-    parser.add_argument("--resolution", type=int, default=256)
+    parser.add_argument("--resolution", type=int, default=512)
     parser.add_argument("--num_frames", type=int, default=12)
     parser.add_argument("--cond_frames", type=int, default=2)
     parser.add_argument("--ddim_steps", type=int, default=50)

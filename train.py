@@ -128,6 +128,8 @@ def main() -> None:
 
     data_rng = jax.random.PRNGKey(cfg.seed + 1)
     step_time = time.time()
+    accum = max(1, cfg.gradient_accumulation_steps)
+    micro_step = global_step * accum
     for epoch in range(start_epoch, cfg.num_train_epochs):
         loader.set_epoch(epoch)
         for videos, prompts in loader:
@@ -135,12 +137,16 @@ def main() -> None:
             videos = jax.device_put(
                 jnp.asarray(videos), batch_sharding(mesh, videos.ndim)
             )
-            k_prep = jax.random.fold_in(data_rng, global_step)
+            k_prep = jax.random.fold_in(data_rng, micro_step)
             batch = prepare(
                 videos, jnp.asarray(tok["input_ids"]),
                 jnp.asarray(tok["attention_mask"]), k_prep, cond_frames=cfg.cond_frames,
             )
             state, metrics = train_step(state, batch, data_rng)
+            micro_step += 1
+            if micro_step % accum != 0:
+                continue
+            # global_step counts optimizer (sync) steps, reference parity
             global_step += 1
             loss = float(metrics["loss"])
             lr = float(schedule_fn(global_step))
