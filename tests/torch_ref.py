@@ -269,6 +269,71 @@ class Upsample3D(nn.Module):
         return self.conv(x)
 
 
+class BasicLinearBlock(nn.Module):
+    """FSText inner block (reference attention.py:328-427, live paths)."""
+
+    def __init__(self, dim, heads, dim_head, context_dim=None, temporal=False):
+        super().__init__()
+        self.temporal = temporal
+        self.attn1 = CrossAttention(dim, heads=heads, dim_head=dim_head,
+                                    temporal=temporal, causal=True)
+        self.ff = FeedForward(dim)
+        self.norm1 = nn.LayerNorm(dim)
+        self.norm3 = nn.LayerNorm(dim)
+        if not temporal:
+            self.attn2 = CrossAttention(dim, context_dim, heads=heads, dim_head=dim_head)
+            self.norm2 = nn.LayerNorm(dim)
+
+    def forward(self, x, context=None):  # (b, f, l, c)
+        b, f, l, c = x.shape
+        if self.temporal:
+            x = x.permute(0, 2, 1, 3).reshape(b * l, f, c)
+            x = self.attn1(self.norm1(x)) + x
+            x = self.ff(self.norm3(x)) + x
+            return x.reshape(b, l, f, c).permute(0, 2, 1, 3)
+        x = x.reshape(b * f, l, c)
+        x = self.attn1(self.norm1(x)) + x
+        x = x.reshape(b, f * l, c)
+        x = self.attn2(self.norm2(x), context) + x
+        x = self.ff(self.norm3(x)) + x
+        return x.reshape(b, f, l, c)
+
+
+class TinyFSText(nn.Module):
+    """Reference FSTextTransformer structure + names (unet_3d_condition.py:379-484)."""
+
+    MAX_LENGTH = 1024
+
+    def __init__(self, num_frames=4, dim=16, heads=4, num_layers=2,
+                 pos_frames=8):
+        super().__init__()
+        self.num_frames = num_frames
+        self.learnable_query = nn.Parameter(torch.zeros(1, 1, 1, dim))
+        self.pos_embed = nn.Parameter(torch.zeros(1, pos_frames, self.MAX_LENGTH, dim))
+        self.trf_blocks = nn.ModuleList()
+        for _ in range(num_layers):
+            blk = nn.Module()
+            blk.transformer_blocks = nn.ModuleList([
+                BasicLinearBlock(dim, heads, dim // heads, context_dim=dim),
+                BasicLinearBlock(dim, heads, dim // heads, temporal=True),
+            ])
+            self.trf_blocks.append(blk)
+        self.norm = nn.LayerNorm(dim)
+
+    def forward(self, context):  # (b, l, c)
+        b, l, c = context.shape
+        x = self.learnable_query.expand(b, self.num_frames, l, -1)
+        pe = self.pos_embed[:, :, :l, :]
+        if self.pos_embed.shape[1] != self.num_frames:
+            pe = F.interpolate(pe.permute(0, 3, 1, 2),
+                               size=(self.num_frames, l)).permute(0, 2, 3, 1)
+        x = x + pe
+        for blk in self.trf_blocks:
+            x = blk.transformer_blocks[0](x, context)
+            x = blk.transformer_blocks[1](x, None)
+        return self.norm(x)
+
+
 def timestep_embedding(t, dim):
     half = dim // 2
     freqs = torch.exp(-math.log(10000) * torch.arange(half, dtype=torch.float64) / half)
