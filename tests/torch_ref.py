@@ -269,6 +269,130 @@ class Upsample3D(nn.Module):
         return self.conv(x)
 
 
+class VAEResnet2D(nn.Module):
+    def __init__(self, in_ch, out_ch, groups):
+        super().__init__()
+        self.norm1 = nn.GroupNorm(groups, in_ch, eps=1e-6)
+        self.conv1 = nn.Conv2d(in_ch, out_ch, 3, padding=1)
+        self.norm2 = nn.GroupNorm(groups, out_ch, eps=1e-6)
+        self.conv2 = nn.Conv2d(out_ch, out_ch, 3, padding=1)
+        self.conv_shortcut = nn.Conv2d(in_ch, out_ch, 1) if in_ch != out_ch else None
+
+    def forward(self, x):
+        h = self.conv1(F.silu(self.norm1(x)))
+        h = self.conv2(F.silu(self.norm2(h)))
+        if self.conv_shortcut is not None:
+            x = self.conv_shortcut(x)
+        return x + h
+
+
+class VAEAttention2D(nn.Module):
+    """diffusers VAE AttentionBlock: single head, pre-scaled q/k."""
+
+    def __init__(self, ch, groups):
+        super().__init__()
+        self.group_norm = nn.GroupNorm(groups, ch, eps=1e-6)
+        self.query = nn.Linear(ch, ch)
+        self.key = nn.Linear(ch, ch)
+        self.value = nn.Linear(ch, ch)
+        self.proj_attn = nn.Linear(ch, ch)
+
+    def forward(self, x):  # (b, c, h, w)
+        b, c, h, w = x.shape
+        res = x
+        y = self.group_norm(x).reshape(b, c, h * w).permute(0, 2, 1)
+        q, k, v = self.query(y), self.key(y), self.value(y)
+        scale = 1.0 / math.sqrt(math.sqrt(c))
+        s = torch.einsum("bnc,bmc->bnm", q * scale, k * scale)
+        p = s.softmax(-1)
+        o = torch.einsum("bnm,bmc->bnc", p, v)
+        o = self.proj_attn(o).permute(0, 2, 1).reshape(b, c, h, w)
+        return o + res
+
+
+class TinyVAE(nn.Module):
+    """diffusers AutoencoderKL structure + names at toy scale."""
+
+    def __init__(self, boc=(16, 32), layers=1, groups=8, latent=4):
+        super().__init__()
+        self.boc, self.layers, self.latent = boc, layers, latent
+        enc = nn.Module()
+        enc.conv_in = nn.Conv2d(3, boc[0], 3, padding=1)
+        enc.down_blocks = nn.ModuleList()
+        out_ch = boc[0]
+        for i, ch in enumerate(boc):
+            blk = nn.Module()
+            blk.resnets = nn.ModuleList([VAEResnet2D(out_ch if j == 0 else ch, ch, groups)
+                                         for j in range(layers)])
+            if i != len(boc) - 1:
+                ds = nn.Module()
+                ds.conv = nn.Conv2d(ch, ch, 3, stride=2, padding=0)
+                blk.downsamplers = nn.ModuleList([ds])
+            enc.down_blocks.append(blk)
+            out_ch = ch
+        enc.mid_block = nn.Module()
+        enc.mid_block.resnets = nn.ModuleList([VAEResnet2D(out_ch, out_ch, groups),
+                                               VAEResnet2D(out_ch, out_ch, groups)])
+        enc.mid_block.attentions = nn.ModuleList([VAEAttention2D(out_ch, groups)])
+        enc.conv_norm_out = nn.GroupNorm(groups, out_ch, eps=1e-6)
+        enc.conv_out = nn.Conv2d(out_ch, 2 * latent, 3, padding=1)
+        self.encoder = enc
+        self.quant_conv = nn.Conv2d(2 * latent, 2 * latent, 1)
+        self.post_quant_conv = nn.Conv2d(latent, latent, 1)
+
+        dec = nn.Module()
+        rboc = list(reversed(boc))
+        dec.conv_in = nn.Conv2d(latent, rboc[0], 3, padding=1)
+        dec.mid_block = nn.Module()
+        dec.mid_block.resnets = nn.ModuleList([VAEResnet2D(rboc[0], rboc[0], groups),
+                                               VAEResnet2D(rboc[0], rboc[0], groups)])
+        dec.mid_block.attentions = nn.ModuleList([VAEAttention2D(rboc[0], groups)])
+        dec.up_blocks = nn.ModuleList()
+        out_ch = rboc[0]
+        for i, ch in enumerate(rboc):
+            blk = nn.Module()
+            blk.resnets = nn.ModuleList([VAEResnet2D(out_ch if j == 0 else ch, ch, groups)
+                                         for j in range(layers + 1)])
+            if i != len(rboc) - 1:
+                us = nn.Module()
+                us.conv = nn.Conv2d(ch, ch, 3, padding=1)
+                blk.upsamplers = nn.ModuleList([us])
+            dec.up_blocks.append(blk)
+            out_ch = ch
+        dec.conv_norm_out = nn.GroupNorm(groups, out_ch, eps=1e-6)
+        dec.conv_out = nn.Conv2d(out_ch, 3, 3, padding=1)
+        self.decoder = dec
+
+    def encode_moments(self, x):  # (b, 3, h, w)
+        e = self.encoder
+        h = e.conv_in(x)
+        for i, blk in enumerate(e.down_blocks):
+            for r in blk.resnets:
+                h = r(h)
+            if hasattr(blk, "downsamplers"):
+                h = F.pad(h, (0, 1, 0, 1))
+                h = blk.downsamplers[0].conv(h)
+        h = e.mid_block.resnets[0](h)
+        h = e.mid_block.attentions[0](h)
+        h = e.mid_block.resnets[1](h)
+        h = e.conv_out(F.silu(e.conv_norm_out(h)))
+        return self.quant_conv(h)
+
+    def decode(self, z):
+        d = self.decoder
+        h = d.conv_in(self.post_quant_conv(z))
+        h = d.mid_block.resnets[0](h)
+        h = d.mid_block.attentions[0](h)
+        h = d.mid_block.resnets[1](h)
+        for i, blk in enumerate(d.up_blocks):
+            for r in blk.resnets:
+                h = r(h)
+            if hasattr(blk, "upsamplers"):
+                h = F.interpolate(h, scale_factor=2.0, mode="nearest")
+                h = blk.upsamplers[0].conv(h)
+        return d.conv_out(F.silu(d.conv_norm_out(h)))
+
+
 class BasicLinearBlock(nn.Module):
     """FSText inner block (reference attention.py:328-427, live paths)."""
 
