@@ -236,12 +236,28 @@ class WindowTemporalAttention(nn.Module):
         v = _split_heads(dense(inner_dim, "to_v", self.bias)(hidden), self.heads)
 
         rot_dim = min(32, self.dim_head)
+        ws = select_window_size(h)
+        scale = self.dim_head**-0.5
+
+        if ws is not None and self.use_flash:
+            from .pallas.swat_attention import swat_attention, swat_attention_available
+
+            if swat_attention_available():
+                # fully fused: rotary + windowing + causal attention in one
+                # kernel; no partition transposes touch HBM
+                bh = b * self.heads
+                grid5 = lambda t: t.reshape(bh, f, h, w, self.dim_head)  # noqa: E731
+                out = swat_attention(
+                    grid5(q), grid5(k), grid5(v), scale, self.causal, ws, rot_dim
+                )
+                out = out.reshape(b, self.heads, n, self.dim_head)
+                out = _merge_heads(out)
+                out = dense(self.query_dim, "to_out_0", True)(out)
+                return out.reshape(b, f, h, w, self.query_dim)
+
         freqs = rotary_freqs(jnp.arange(n), rot_dim)
         q = apply_rotary(q, freqs)
         k = apply_rotary(k, freqs)
-
-        ws = select_window_size(h)
-        scale = self.dim_head**-0.5
 
         if ws is None:
             # full-frame: one "window" of f*h*w tokens per (batch, head)

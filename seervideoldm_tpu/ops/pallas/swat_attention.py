@@ -1,0 +1,193 @@
+"""Fully-fused SWAT windowed causal spatio-temporal attention (Pallas).
+
+One kernel per (batch·head, window) fuses everything the reference does in
+five separate passes (``seer/models/attention.py:632-703``):
+
+1. **windowing by BlockSpec** — each grid cell's block IS one ``ws×ws``
+   spatial window across all frames; the reference's 7-D partition/reverse
+   transposes never touch HBM;
+2. **in-kernel rotary** — per-token positions are reconstructed from the
+   grid indices (position = frame·h·w + row·w + col, the f-major
+   full-resolution flattening the reference applies *before* windowing);
+   interleaved-pair rotation is done with ``pltpu.roll`` (no sub-128
+   reshapes);
+3. **causal attention** — lower-triangular over the f-major window token
+   order (xformers ``LowerTriangularMask`` parity), fp32 softmax, MXU
+   matmuls.
+
+Tokens per window = f·ws² (≤ ~1k at reference scales) so a window's scores
+fit VMEM — no streaming needed.  Backward: ``custom_vjp`` recomputing with
+the unfused XLA path (exact same math; fused backward is a later
+optimization).
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+try:  # pragma: no cover
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PLTPU = True
+except Exception:  # pragma: no cover
+    pltpu = None
+    _HAS_PLTPU = False
+
+from ..rotary import apply_rotary, rotary_freqs
+from ..windows import window_partition, window_reverse
+
+NEG_INF = -1e30
+
+# Test hook: interpreter mode (CPU).
+_INTERPRET = False
+
+
+def swat_attention_available() -> bool:
+    return _INTERPRET or (_HAS_PLTPU and jax.default_backend() in ("tpu", "axon"))
+
+
+def _rotate_half_roll(x: jnp.ndarray) -> jnp.ndarray:
+    """Interleaved-pair rotate using roll: out[2i]=-x[2i+1], out[2i+1]=x[2i]."""
+    n = x.shape[-1]
+    if _INTERPRET:
+        fwd = jnp.roll(x, -1, axis=-1)
+        bwd = jnp.roll(x, 1, axis=-1)
+    else:
+        # pltpu.roll requires non-negative shift: roll(-1) == roll(n-1)
+        axis = x.ndim - 1
+        fwd = pltpu.roll(x, n - 1, axis)
+        bwd = pltpu.roll(x, 1, axis)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    return jnp.where(lane % 2 == 0, -fwd, bwd)
+
+
+def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool,
+            f: int, ws: int, h: int, w: int, rot_dim: int, d_pad: int,
+            theta: float):
+    wi = pl.program_id(1)
+    wj = pl.program_id(2)
+    tokens = f * ws * ws
+
+    def flat(ref):
+        return ref[0].reshape(tokens, d_pad)
+
+    q = flat(q_ref)
+    k = flat(k_ref)
+
+    # --- per-token rotary positions from grid indices ---
+    tok = jax.lax.broadcasted_iota(jnp.int32, (tokens, d_pad), 0)
+    frame = tok // (ws * ws)
+    rem = tok % (ws * ws)
+    row = wi * ws + rem // ws
+    col = wj * ws + rem % ws
+    pos = (frame * (h * w) + row * w + col).astype(jnp.float32)
+
+    # interleaved frequency per lane: inv_freq[lane // 2]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tokens, d_pad), 1)
+    pair = (lane // 2).astype(jnp.float32)
+    inv_freq = jnp.exp(pair * (-2.0 * math.log(theta) / rot_dim))
+    phase = pos * inv_freq
+    cos = jnp.cos(phase)
+    sin = jnp.sin(phase)
+    in_rot = lane < rot_dim
+
+    def rotate(t):
+        t32 = t.astype(jnp.float32)
+        rotated = t32 * cos + _rotate_half_roll(t32) * sin
+        return jnp.where(in_rot, rotated, t32).astype(t.dtype)
+
+    q = rotate(q)
+    k = rotate(k)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    if causal:
+        rows_t = jax.lax.broadcasted_iota(jnp.int32, (tokens, tokens), 0)
+        cols_t = jax.lax.broadcasted_iota(jnp.int32, (tokens, tokens), 1)
+        s = jnp.where(cols_t <= rows_t, s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    out = jax.lax.dot_general(
+        p.astype(v_ref.dtype), flat(v_ref), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = out.reshape(f, ws, ws, d_pad).astype(o_ref.dtype)
+
+
+def _swat_forward(q, k, v, scale: float, causal: bool, ws: int, rot_dim: int,
+                  theta: float = 10000.0):
+    """q/k/v: (B, f, h, w, d) -> same shape; B = batch*heads folded."""
+    batch, f, h, w, d = q.shape
+    d_pad = max(128, int(np.ceil(d / 128)) * 128)
+    if d_pad != d:
+        pad = ((0, 0), (0, 0), (0, 0), (0, 0), (0, d_pad - d))
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+
+    grid = (batch, h // ws, w // ws)
+    spec = pl.BlockSpec((1, f, ws, ws, d_pad), lambda b, i, j: (b, 0, i, j, 0))
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, scale=scale, causal=causal, f=f, ws=ws, h=h, w=w,
+            rot_dim=rot_dim, d_pad=d_pad, theta=theta,
+        ),
+        grid=grid,
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((batch, f, h, w, d_pad), q.dtype),
+        compiler_params=None if _INTERPRET else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        interpret=_INTERPRET,
+    )(q, k, v)
+    return out[..., :d]
+
+
+def _unfused_reference(q, k, v, scale, causal, ws, rot_dim):
+    """The XLA path with identical semantics (used for backward + testing)."""
+    batch, f, h, w, d = q.shape
+    n = f * h * w
+    freqs = rotary_freqs(jnp.arange(n), rot_dim)
+    flat = lambda t: t.reshape(batch, n, d)  # noqa: E731
+    qr = apply_rotary(flat(q), freqs).reshape(batch, f, h, w, d)
+    kr = apply_rotary(flat(k), freqs).reshape(batch, f, h, w, d)
+    qw = window_partition(qr, ws)
+    kw = window_partition(kr, ws)
+    vw = window_partition(v, ws)
+    logits = jnp.einsum("bnd,bmd->bnm", qw, kw,
+                        preferred_element_type=jnp.float32) * scale
+    if causal:
+        t = qw.shape[1]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+        logits = jnp.where(cols <= rows, logits, NEG_INF)
+    p = jax.nn.softmax(logits, axis=-1).astype(vw.dtype)
+    ow = jnp.einsum("bnm,bmd->bnd", p, vw)
+    return window_reverse(ow, ws, f, h, w)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def swat_attention(q, k, v, scale: float, causal: bool, ws: int, rot_dim: int):
+    """Fused rotary+window+causal attention. q/k/v: (B, f, h, w, d)."""
+    return _swat_forward(q, k, v, scale, causal, ws, rot_dim)
+
+
+def _fwd(q, k, v, scale, causal, ws, rot_dim):
+    return swat_attention(q, k, v, scale, causal, ws, rot_dim), (q, k, v)
+
+
+def _bwd(scale, causal, ws, rot_dim, residuals, g):
+    q, k, v = residuals
+
+    def f(q, k, v):
+        return _unfused_reference(q, k, v, scale, causal, ws, rot_dim)
+
+    _, vjp = jax.vjp(f, q, k, v)
+    return vjp(g)
+
+
+swat_attention.defvjp(_fwd, _bwd)

@@ -1,0 +1,56 @@
+"""Fused SWAT kernel vs the unfused XLA reference (interpreter mode)."""
+import importlib
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+swat = importlib.import_module("seervideoldm_tpu.ops.pallas.swat_attention")
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode():
+    swat._INTERPRET = True
+    yield
+    swat._INTERPRET = False
+
+
+@pytest.mark.parametrize("f,h,w,d,ws", [(3, 8, 8, 40, 4), (2, 8, 8, 64, 8),
+                                        (4, 4, 8, 32, 4)])
+def test_swat_kernel_matches_unfused(f, h, w, d, ws):
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(2, f, h, w, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(2, f, h, w, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(2, f, h, w, d).astype(np.float32))
+    scale = d**-0.5
+    rot = min(32, d)
+    got = np.asarray(swat.swat_attention(q, k, v, scale, True, ws, rot))
+    want = np.asarray(swat._unfused_reference(q, k, v, scale, True, ws, rot))
+    np.testing.assert_allclose(got, want, atol=3e-5)
+
+
+def test_swat_kernel_noncausal():
+    rng = np.random.RandomState(1)
+    q = jnp.asarray(rng.randn(1, 2, 4, 4, 16).astype(np.float32))
+    got = np.asarray(swat.swat_attention(q, q, q, 0.25, False, 4, 16))
+    want = np.asarray(swat._unfused_reference(q, q, q, 0.25, False, 4, 16))
+    np.testing.assert_allclose(got, want, atol=3e-5)
+
+
+def test_swat_gradients_match_unfused():
+    rng = np.random.RandomState(2)
+    q = jnp.asarray(rng.randn(1, 2, 4, 4, 16).astype(np.float32))
+    k = jnp.asarray(rng.randn(1, 2, 4, 4, 16).astype(np.float32))
+    v = jnp.asarray(rng.randn(1, 2, 4, 4, 16).astype(np.float32))
+
+    def loss_fused(q, k, v):
+        return jnp.sum(swat.swat_attention(q, k, v, 0.25, True, 4, 16) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(swat._unfused_reference(q, k, v, 0.25, True, 4, 16) ** 2)
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
