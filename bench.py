@@ -58,6 +58,9 @@ def main() -> None:
         jnp.zeros((2 * b,), jnp.int32), jnp.zeros((2 * b, f, 77, 768), dtype), 0,
     )["params"]
     fstext_params = fstext.init(k4, clip_emb)["params"]
+    # production inference: store weights in bf16 (halves HBM weight traffic)
+    unet_params = jax.tree.map(lambda p: p.astype(dtype), unet_params)
+    fstext_params = jax.tree.map(lambda p: p.astype(dtype), fstext_params)
 
     schedule = DiffusionSchedule.create(1000)
     tables = schedule.ddim_tables(args.ddim_steps, eta=0.0)

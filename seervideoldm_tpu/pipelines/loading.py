@@ -36,12 +36,21 @@ def _find_weights(directory: str, *names: str) -> Optional[str]:
 
 
 _DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
-           "fp32": jnp.float32, "fp16": jnp.bfloat16}  # fp16 configs run as bf16 on TPU
+           "fp32": jnp.float32, "fp16": jnp.bfloat16,  # fp16 configs run as bf16 on TPU
+           "no": jnp.float32}
 
 
 def load_models(cfg: Config, rng: jax.Array, latent_size: Optional[int] = None):
-    """Build SeerModels (+ tokenizer), loading any locally available weights."""
-    dtype = _DTYPES.get(str(cfg.compute_dtype), jnp.bfloat16)
+    """Build SeerModels (+ tokenizer), loading any locally available weights.
+
+    Compute dtype: the reference YAML key ``mixed_precision`` ("fp16"/"bf16"/
+    "no", reference ``configs/*.yaml``) is honored unless the TPU-native
+    ``compute_dtype`` key overrides it.
+    """
+    dtype_key = cfg.get("compute_dtype") or cfg.mixed_precision or "bfloat16"
+    if cfg.get("compute_dtype") == "bfloat16" and cfg.mixed_precision == "no":
+        dtype_key = "no"  # explicit full-precision request wins over our default
+    dtype = _DTYPES.get(str(dtype_key), jnp.bfloat16)
     param_dtype = _DTYPES.get(str(cfg.param_dtype), jnp.float32)
     models = SeerModels.initialize(
         rng,
