@@ -28,19 +28,32 @@ class GroupNorm(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         orig_dtype = x.dtype
         c = x.shape[-1]
-        assert c % self.num_groups == 0, f"channels {c} % groups {self.num_groups} != 0"
+        g = self.num_groups
+        assert c % g == 0, f"channels {c} % groups {g} != 0"
         scale = self.param("scale", nn.initializers.ones, (c,), self.param_dtype)
         bias = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
 
+        # Lane-friendly statistics: reduce the big tensor per-channel (the
+        # channel axis stays in lanes), then aggregate the tiny (b, c) moments
+        # into (b, groups).  Avoids reshaping activations to a c/groups-lane
+        # layout.  fp32 accumulation throughout (reference fp32-GN islands).
+        b = x.shape[0]
         x32 = x.astype(jnp.float32)
-        spatial = x32.shape[1:-1]
-        grouped = x32.reshape(x32.shape[0], -1, self.num_groups, c // self.num_groups)
-        # statistics over (all spatial positions, channels within the group)
-        mean = grouped.mean(axis=(1, 3), keepdims=True)
-        var = grouped.var(axis=(1, 3), keepdims=True)
-        normed = (grouped - mean) * jax.lax.rsqrt(var + self.eps)
-        normed = normed.reshape(x32.shape[0], *spatial, c)
-        out = normed * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        flat = x32.reshape(b, -1, c)
+        n_spatial = flat.shape[1]
+        s1 = jnp.sum(flat, axis=1)  # (b, c)
+        s2 = jnp.sum(flat * flat, axis=1)  # (b, c)
+        denom = n_spatial * (c // g)
+        mean_g = s1.reshape(b, g, c // g).sum(-1) / denom  # (b, g)
+        ex2_g = s2.reshape(b, g, c // g).sum(-1) / denom
+        var_g = jnp.maximum(ex2_g - mean_g * mean_g, 0.0)
+        # broadcast per-group stats back to per-channel (tiny arrays)
+        mean_c = jnp.repeat(mean_g, c // g, axis=-1)  # (b, c)
+        rstd_c = jnp.repeat(jax.lax.rsqrt(var_g + self.eps), c // g, axis=-1)
+        w = rstd_c * scale.astype(jnp.float32)[None, :]
+        bshift = bias.astype(jnp.float32)[None, :] - mean_c * w
+        shape = (b,) + (1,) * (x.ndim - 2) + (c,)
+        out = x32 * w.reshape(shape) + bshift.reshape(shape)
         return out.astype(orig_dtype)
 
 
