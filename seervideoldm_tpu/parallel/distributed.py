@@ -1,0 +1,34 @@
+"""Multi-host initialization (pod scale).
+
+The reference's process topology comes from ``accelerate launch`` env vars
+(SURVEY §2.4); here one call wires JAX's multi-host runtime: every host
+runs the same program, collectives ride ICI within a slice and DCN across
+slices.  Safe to call unconditionally — a no-op for single-host runs unless
+coordinator env vars are present.
+"""
+from __future__ import annotations
+
+import os
+
+import jax
+
+
+def initialize_distributed() -> None:
+    """Initialize jax.distributed from standard env vars when present.
+
+    Honors ``JAX_COORDINATOR_ADDRESS``/``JAX_NUM_PROCESSES``/
+    ``JAX_PROCESS_ID`` or the TPU pod metadata JAX discovers natively.
+    """
+    if jax.process_count() > 1:
+        return  # already initialized
+    coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if coord:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+            process_id=int(os.environ["JAX_PROCESS_ID"]),
+        )
+    elif os.environ.get("TPU_WORKER_HOSTNAMES") and os.environ.get(
+        "MEGASCALE_COORDINATOR_ADDRESS"
+    ):
+        jax.distributed.initialize()
