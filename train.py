@@ -23,6 +23,7 @@ import numpy as np
 from seervideoldm_tpu.config import parse_args
 from seervideoldm_tpu.data import DataLoader, build_dataset
 from seervideoldm_tpu.io.checkpoint import CheckpointManager
+from seervideoldm_tpu.parallel.distributed import initialize_distributed
 from seervideoldm_tpu.parallel.mesh import batch_sharding, create_mesh, replicate
 from seervideoldm_tpu.pipelines.loading import load_models
 from seervideoldm_tpu.training.meters import RunningAverageMeter
@@ -56,6 +57,7 @@ def main() -> None:
     from seervideoldm_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    initialize_distributed()
     cfg = parse_args("Seer TPU fine-tuning")
     os.makedirs(cfg.output_dir, exist_ok=True)
     rng = jax.random.PRNGKey(cfg.seed)
@@ -128,6 +130,7 @@ def main() -> None:
 
     data_rng = jax.random.PRNGKey(cfg.seed + 1)
     step_time = time.time()
+    pending_losses: list = []
     accum = max(1, cfg.gradient_accumulation_steps)
     micro_step = global_step * accum
     for epoch in range(start_epoch, cfg.num_train_epochs):
@@ -148,14 +151,21 @@ def main() -> None:
                 continue
             # global_step counts optimizer (sync) steps, reference parity
             global_step += 1
-            loss = float(metrics["loss"])
-            lr = float(schedule_fn(global_step))
-            losses_train.update(loss, global_step)
-            lr_meter.update(lr, global_step)
-            if writer is not None:
-                writer.add_scalar("loss", loss, global_step)
-                writer.add_scalar("lr", lr, global_step)
+            pending_losses.append((global_step, metrics["loss"]))
+            if len(pending_losses) >= 10 or global_step % cfg.save_steps == 0:
+                # fetch device scalars in one batch (no per-step host sync)
+                for gs, dev_loss in pending_losses:
+                    loss = float(dev_loss)
+                    lr = float(schedule_fn(gs))
+                    losses_train.update(loss, gs)
+                    lr_meter.update(lr, gs)
+                    if writer is not None:
+                        writer.add_scalar("loss", loss, gs)
+                        writer.add_scalar("lr", lr, gs)
+                pending_losses = []
             if global_step % 50 == 0:
+                loss = losses_train.val if losses_train.val is not None else float("nan")
+                lr = float(schedule_fn(global_step))
                 dt = (time.time() - step_time) / 50
                 step_time = time.time()
                 print(f"step {global_step} loss {loss:.4f} lr {lr:.2e} "
