@@ -69,54 +69,59 @@ def _rotate_half_roll(x: jnp.ndarray) -> jnp.ndarray:
 def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool,
             f: int, ws: int, h: int, w: int, rot_dim: int, d_pad: int,
             theta: float):
+    """One grid cell = one full-width row of windows (block (1, f, ws, w, d));
+    Mosaic needs the last two block dims (w, d) tile-aligned, so windows are
+    carved out inside the kernel with static slices (unrolled loop)."""
     wi = pl.program_id(1)
-    wj = pl.program_id(2)
     tokens = f * ws * ws
+    nw = w // ws
 
-    def flat(ref):
-        return ref[0].reshape(tokens, d_pad)
-
-    q = flat(q_ref)
-    k = flat(k_ref)
-
-    # --- per-token rotary positions from grid indices ---
-    tok = jax.lax.broadcasted_iota(jnp.int32, (tokens, d_pad), 0)
-    frame = tok // (ws * ws)
-    rem = tok % (ws * ws)
-    row = wi * ws + rem // ws
-    col = wj * ws + rem % ws
-    pos = (frame * (h * w) + row * w + col).astype(jnp.float32)
-
-    # interleaved frequency per lane: inv_freq[lane // 2]
     lane = jax.lax.broadcasted_iota(jnp.int32, (tokens, d_pad), 1)
     pair = (lane // 2).astype(jnp.float32)
     inv_freq = jnp.exp(pair * (-2.0 * math.log(theta) / rot_dim))
-    phase = pos * inv_freq
-    cos = jnp.cos(phase)
-    sin = jnp.sin(phase)
     in_rot = lane < rot_dim
 
-    def rotate(t):
-        t32 = t.astype(jnp.float32)
-        rotated = t32 * cos + _rotate_half_roll(t32) * sin
-        return jnp.where(in_rot, rotated, t32).astype(t.dtype)
+    tok = jax.lax.broadcasted_iota(jnp.int32, (tokens, d_pad), 0)
+    frame = tok // (ws * ws)
+    rem = tok % (ws * ws)
+    row_in_win = rem // ws
+    col_in_win = rem % ws
 
-    q = rotate(q)
-    k = rotate(k)
+    rows_t = jax.lax.broadcasted_iota(jnp.int32, (tokens, tokens), 0)
+    cols_t = jax.lax.broadcasted_iota(jnp.int32, (tokens, tokens), 1)
+    tril = cols_t <= rows_t
 
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    if causal:
-        rows_t = jax.lax.broadcasted_iota(jnp.int32, (tokens, tokens), 0)
-        cols_t = jax.lax.broadcasted_iota(jnp.int32, (tokens, tokens), 1)
-        s = jnp.where(cols_t <= rows_t, s, NEG_INF)
-    p = jax.nn.softmax(s, axis=-1)
-    out = jax.lax.dot_general(
-        p.astype(v_ref.dtype), flat(v_ref), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    o_ref[0] = out.reshape(f, ws, ws, d_pad).astype(o_ref.dtype)
+    for j in range(nw):
+        # f-major token order inside window j of this row strip
+        pos = (frame * (h * w) + (wi * ws + row_in_win) * w
+               + (j * ws + col_in_win)).astype(jnp.float32)
+        phase = pos * inv_freq
+        cos = jnp.cos(phase)
+        sin = jnp.sin(phase)
+
+        def rotate(t):
+            t32 = t.astype(jnp.float32)
+            rotated = t32 * cos + _rotate_half_roll(t32) * sin
+            return jnp.where(in_rot, rotated, t32).astype(t.dtype)
+
+        def window(ref):
+            return ref[0, :, :, j * ws : (j + 1) * ws, :].reshape(tokens, d_pad)
+
+        q = rotate(window(q_ref))
+        k = rotate(window(k_ref))
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        if causal:
+            s = jnp.where(tril, s, NEG_INF)
+        p = jax.nn.softmax(s, axis=-1)
+        out = jax.lax.dot_general(
+            p.astype(v_ref.dtype), window(v_ref), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, :, j * ws : (j + 1) * ws, :] = (
+            out.reshape(f, ws, ws, d_pad).astype(o_ref.dtype)
+        )
 
 
 def _swat_forward(q, k, v, scale: float, causal: bool, ws: int, rot_dim: int,
@@ -128,8 +133,8 @@ def _swat_forward(q, k, v, scale: float, causal: bool, ws: int, rot_dim: int,
         pad = ((0, 0), (0, 0), (0, 0), (0, 0), (0, d_pad - d))
         q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
 
-    grid = (batch, h // ws, w // ws)
-    spec = pl.BlockSpec((1, f, ws, ws, d_pad), lambda b, i, j: (b, 0, i, j, 0))
+    grid = (batch, h // ws)
+    spec = pl.BlockSpec((1, f, ws, w, d_pad), lambda b, i: (b, 0, i, 0, 0))
     out = pl.pallas_call(
         functools.partial(
             _kernel, scale=scale, causal=causal, f=f, ws=ws, h=h, w=w,
@@ -140,7 +145,7 @@ def _swat_forward(q, k, v, scale: float, causal: bool, ws: int, rot_dim: int,
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((batch, f, h, w, d_pad), q.dtype),
         compiler_params=None if _INTERPRET else pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel"),
+            dimension_semantics=("parallel", "parallel"),
         ),
         interpret=_INTERPRET,
     )(q, k, v)

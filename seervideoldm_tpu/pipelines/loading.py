@@ -52,12 +52,36 @@ def load_models(cfg: Config, rng: jax.Array, latent_size: Optional[int] = None):
         dtype_key = "no"  # explicit full-precision request wins over our default
     dtype = _DTYPES.get(str(dtype_key), jnp.bfloat16)
     param_dtype = _DTYPES.get(str(cfg.param_dtype), jnp.float32)
+
+    # Optional sub-model config overrides (YAML dicts under
+    # ``model_overrides``) — smoke tests and scaled-down experiments.
+    overrides = cfg.get("model_overrides") or {}
+
+    def _cfg(cls, key):
+        if key not in overrides:
+            return None
+        return cls(**{k: tuple(v) if isinstance(v, list) else v
+                      for k, v in overrides[key].items()})
+
+    from ..models.clip_text import CLIPTextConfig
+    from ..models.unet3d import SeerUNetConfig
+    from ..models.vae import VAEConfig
+
+    unet_config = _cfg(SeerUNetConfig, "unet")
+    vae_config = _cfg(VAEConfig, "vae")
+    clip_config = _cfg(CLIPTextConfig, "clip")
+    n_vae_blocks = len(vae_config.block_out_channels) if vae_config else 4
+    vae_scale = 2 ** (n_vae_blocks - 1)
     models = SeerModels.initialize(
         rng,
         num_frames=cfg.num_frames,
+        unet_config=unet_config,
+        vae_config=vae_config,
+        clip_config=clip_config,
+        fstext_kwargs=overrides.get("fstext"),
         dtype=dtype,
         param_dtype=param_dtype,
-        latent_size=latent_size or cfg.resolution // 8,
+        latent_size=latent_size or cfg.resolution // vae_scale,
         remat=bool(cfg.get("remat", False)),
     )
     tokenizer = build_tokenizer(cfg.tokenizer_path)

@@ -1,0 +1,104 @@
+"""Integration tests: run the actual entry scripts end-to-end at toy scale
+(subprocess, CPU) — the whole driver path including config parsing, model
+build, data loading, checkpointing, and visualization output."""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import yaml
+from PIL import Image
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+TINY_OVERRIDES = {
+    "unet": {"block_out_channels": [32, 64], "layers_per_block": 1,
+             "norm_num_groups": 8, "cross_attention_dim": 32,
+             "attention_head_dim": 4},
+    "vae": {"block_out_channels": [16, 32], "layers_per_block": 1,
+            "norm_num_groups": 8},
+    "clip": {"vocab_size": 49408, "hidden_size": 32, "intermediate_size": 64,
+             "num_hidden_layers": 2, "num_attention_heads": 4,
+             "max_position_embeddings": 77},
+    "fstext": {"n_heads": 4, "num_layers": 1},
+}
+
+
+def _run(script, cfg_path, *extra):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO
+    # sitecustomize force-registers the TPU platform; strip its trigger
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["XLA_FLAGS"] = ""  # single CPU device (conftest sets 8 for in-proc tests)
+    env["JAX_CACHE_DIR"] = "/tmp/jax_test_cache"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, script), "--config", cfg_path, *extra],
+        capture_output=True, text=True, timeout=1200, cwd=REPO, env=env,
+    )
+    assert proc.returncode == 0, f"{script} failed:\n{proc.stdout}\n{proc.stderr}"
+    return proc
+
+
+def _make_sthv2(root, n_clips=4, n_frames=5):
+    ann = os.path.join(root, "annotations")
+    os.makedirs(ann, exist_ok=True)
+    entries = [{"id": str(i), "label": f"doing thing {i}"} for i in range(n_clips)]
+    with open(os.path.join(ann, "train.json"), "w") as f:
+        json.dump(entries, f)
+    with open(os.path.join(ann, "validation.json"), "w") as f:
+        json.dump(entries, f)
+    rng = np.random.RandomState(0)
+    for e in entries:
+        d = os.path.join(root, "rawframes", e["id"])
+        os.makedirs(d, exist_ok=True)
+        for j in range(n_frames):
+            Image.fromarray(rng.randint(0, 255, (20, 26, 3), dtype=np.uint8)).save(
+                os.path.join(d, f"{j:04d}.jpg")
+            )
+
+
+@pytest.mark.slow
+def test_train_script_end_to_end(tmp_path):
+    data_dir = str(tmp_path / "data")
+    out_dir = str(tmp_path / "out")
+    _make_sthv2(data_dir)
+    cfg = {
+        "output_dir": out_dir, "data_dir": data_dir, "dataset": "sthv2",
+        "resolution": 16, "cond_frames": 1, "num_frames": 4,
+        "train_batch_size": 2, "gradient_accumulation_steps": 1,
+        "learning_rate": 1e-3, "scale_lr": False, "lr_warmup_steps": 1,
+        "max_train_steps": 3, "save_steps": 3, "num_workers": 2,
+        "mixed_precision": "no", "seed": 0,
+        "model_overrides": TINY_OVERRIDES,
+    }
+    cfg_path = str(tmp_path / "train.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.dump(cfg, f)
+    _run("train.py", cfg_path)
+    ckpt = os.path.join(out_dir, "learned_sdunet-steps-3")
+    assert os.path.isdir(os.path.join(ckpt, "state"))
+    assert os.path.isdir(os.path.join(ckpt, "params"))
+    assert os.path.exists(os.path.join(out_dir, "learned_sdunet-steps-3.json"))
+
+
+@pytest.mark.slow
+def test_inference_img_script(tmp_path):
+    out_dir = str(tmp_path / "out")
+    img_path = str(tmp_path / "input.png")
+    Image.fromarray(
+        np.random.RandomState(1).randint(0, 255, (40, 30, 3), dtype=np.uint8)
+    ).save(img_path)
+    cfg = {
+        "output_dir": out_dir, "resolution": 16, "cond_frames": 1,
+        "num_frames": 4, "ddim_steps": 2, "scale": 7.5, "seed": 0,
+        "mixed_precision": "no", "model_overrides": TINY_OVERRIDES,
+    }
+    cfg_path = str(tmp_path / "inf.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.dump(cfg, f)
+    _run("inference_img.py", cfg_path, "--image_path", img_path,
+         "--input_text_prompts", "push the cup")
+    assert os.path.exists(os.path.join(out_dir, "sample-0.gif"))
