@@ -102,3 +102,45 @@ def test_inference_img_script(tmp_path):
     _run("inference_img.py", cfg_path, "--image_path", img_path,
          "--input_text_prompts", "push the cup")
     assert os.path.exists(os.path.join(out_dir, "sample-0.gif"))
+
+
+@pytest.mark.slow
+def test_inference_script_end_to_end(tmp_path):
+    data_dir = str(tmp_path / "data")
+    out_dir = str(tmp_path / "out")
+    _make_sthv2(data_dir)
+    cfg = {
+        "output_dir": out_dir, "data_dir": data_dir, "dataset": "sthv2",
+        "resolution": 16, "cond_frames": 1, "num_frames": 4,
+        "val_batch_size": 2, "sample_iter": 1, "num_samples": 1,
+        "ddim_steps": 2, "scale": 7.5, "n_rows": 1, "num_workers": 2,
+        "mixed_precision": "no", "seed": 0, "saved_global_step": 0,
+        "model_overrides": TINY_OVERRIDES,
+    }
+    cfg_path = str(tmp_path / "inference.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.dump(cfg, f)
+    _run("inference.py", cfg_path)
+    files = os.listdir(out_dir)
+    assert any(f.startswith("grid-") for f in files)
+    assert any(f.startswith("sample-") and f.endswith(".gif") for f in files)
+
+
+@pytest.mark.slow
+def test_eval_script_fvd_end_to_end(tmp_path):
+    data_dir = str(tmp_path / "data")
+    out_dir = str(tmp_path / "out")
+    _make_sthv2(data_dir, n_clips=4)
+    cfg = {
+        "output_dir": out_dir, "data_dir": data_dir, "dataset": "sthv2",
+        "resolution": 16, "cond_frames": 1, "num_frames": 4,
+        "val_batch_size": 2, "ddim_steps": 2, "scale": 7.5,
+        "compute_fvd": True, "MAX_FVD_BATCH": 4, "compute_is": False,
+        "num_workers": 2, "mixed_precision": "no", "seed": 0,
+        "saved_global_step": 0, "model_overrides": TINY_OVERRIDES,
+    }
+    cfg_path = str(tmp_path / "eval.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.dump(cfg, f)
+    proc = _run("eval.py", cfg_path)
+    assert "FVD" in proc.stdout
