@@ -55,10 +55,11 @@ def dot_product_attention(
     sequence is large enough, dispatches to the fused Pallas flash kernel.
     """
     n, m = q.shape[-2], k.shape[-2]
-    if use_flash and mask is None and min(n, m) >= 0:
+    if use_flash and mask is None:
         from .pallas.flash_attention import flash_attention, flash_attention_available
 
-        # flash path: worthwhile once the score matrix stops being tiny
+        # flash path: worthwhile once the score matrix stops being tiny;
+        # rectangular-causal (tril(m-n)) stays on the einsum path
         if flash_attention_available() and n >= 128 and (not causal or n == m):
             return flash_attention(q, k, v, scale, causal)
     if causal and mask is None:
