@@ -1,8 +1,8 @@
 """Block-level TPU timing: where does a UNet forward actually spend time?
 
-Times each block type at the hot shapes (level-0/1 of the 512px and 256px
-recipes) with host-transfer sync (the axon relay's block_until_ready
-returns early).  Run on the real chip:  python tools/profile_blocks.py
+The axon relay adds ~hundreds of ms of per-dispatch overhead, so each block
+is timed as a single-dispatch ``lax.scan`` of N applications (overhead
+amortized to noise).  Run:  python tools/profile_blocks.py
 """
 from __future__ import annotations
 
@@ -17,17 +17,32 @@ import numpy as np
 
 from seervideoldm_tpu.utils.cache import enable_compilation_cache
 
+N_INNER = 20
 
-def bench_fn(fn, *args, iters=5):
-    out = fn(*args)
-    np.asarray(jax.tree.leaves(out)[0])  # sync
+
+def bench_scan(apply_fn, params, x, *extra, iters=3):
+    """Median seconds per single application, amortized over N_INNER."""
+
+    @jax.jit
+    def scanned(params, x):
+        def body(h, _):
+            out = apply_fn(params, h, *extra)
+            # keep carry shape: blocks are shape-preserving here
+            return out.astype(h.dtype), ()
+
+        h, _ = jax.lax.scan(body, x, None, length=N_INNER)
+        # reduce on-device: host transfers ride a slow relay tunnel, so only
+        # a scalar may cross for the timing sync
+        return jnp.sum(h.astype(jnp.float32))
+
+    out = scanned(params, x)
+    float(out)  # sync
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        out = fn(*args)
-        np.asarray(jax.tree.leaves(out)[0])
+        float(scanned(params, x))
         times.append(time.perf_counter() - t0)
-    return float(np.median(times))
+    return float(np.median(times)) / N_INNER
 
 
 def main():
@@ -39,7 +54,9 @@ def main():
     rng = jax.random.PRNGKey(0)
     b, f = 2, 12  # CFG-doubled batch
 
-    rows = []
+    layer_counts = {  # triplets per level in a full forward (down+up)
+        "L0": 5, "L1": 5,
+    }
     for (res_name, hw, ch) in [("512px-L0", 64, 320), ("512px-L1", 32, 640),
                                ("256px-L0", 32, 320), ("256px-L1", 16, 640)]:
         x = jax.random.normal(rng, (b, f, hw, hw, ch), dtype)
@@ -50,27 +67,22 @@ def main():
         resnet = ResnetBlock3D(in_channels=ch, out_channels=ch, temb_channels=1280,
                                dtype=dtype)
         p = resnet.init(rng, x, temb)
-        t_res = bench_fn(jax.jit(lambda p, x, e: resnet.apply(p, x, e)), p, x, temb)
+        t_res = bench_scan(lambda p, x: resnet.apply(p, x, temb), p, x)
 
         text_attn = SpatialTransformer3D(ch, heads, ch // heads, depth=1,
                                          context_dim=768, text_frame_condition=True,
                                          dtype=dtype)
         p = text_attn.init(rng, x, ctx)
-        t_text = bench_fn(jax.jit(lambda p, x, c: text_attn.apply(p, x, c)), p, x, ctx)
+        t_text = bench_scan(lambda p, x: text_attn.apply(p, x, ctx), p, x)
 
         temp_attn = SpatialTransformer3D(ch, heads, ch // heads, depth=1,
                                          temporal=True, causal=True, dtype=dtype)
         p = temp_attn.init(rng, x)
-        t_temp = bench_fn(jax.jit(lambda p, x: temp_attn.apply(p, x)), p, x)
+        t_temp = bench_scan(lambda p, x: temp_attn.apply(p, x), p, x)
 
-        rows.append((res_name, hw, ch, t_res, t_text, t_temp))
-        print(f"{res_name} (hw={hw}, ch={ch}): resnet {t_res*1e3:.1f} ms | "
-              f"text-attn {t_text*1e3:.1f} ms | temporal-attn {t_temp*1e3:.1f} ms",
-              flush=True)
-
-    print("\nper-UNet-forward rough totals (x num layers at each level):")
-    for name, hw, ch, a, b_, c in rows:
-        print(f"  {name}: triplet {1e3*(a+b_+c):.1f} ms")
+        print(f"{res_name} (hw={hw}, ch={ch}): resnet {t_res*1e3:.2f} ms | "
+              f"text-attn {t_text*1e3:.2f} ms | temporal-attn {t_temp*1e3:.2f} ms | "
+              f"triplet {1e3*(t_res+t_text+t_temp):.2f} ms", flush=True)
 
 
 if __name__ == "__main__":
