@@ -108,48 +108,102 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
         o_ref[0] = (acc_scr[:] / denom).astype(o_ref.dtype)
 
 
+def _kernel_single(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool,
+                   q_len: int, kv_len: int, bq: int):
+    """Single-shot attention for one q block against the full (resident) K/V.
+
+    At this model's sequence lengths (<=4096) the fp32 score block
+    (bq x kv_pad <= 8 MB) fits VMEM, so streaming/online-softmax is pure
+    overhead -- one big MXU matmul per program beats 8 small ones."""
+    i = pl.program_id(1)
+    q = q_ref[0]  # (bq, d)
+    k = k_ref[0]  # (kv_pad, d)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (bq, kv_pad)
+    kv_pad = s.shape[1]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (bq, kv_pad), 1)
+    mask = cols < kv_len
+    if causal:
+        rows = i * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, kv_pad), 0)
+        mask = jnp.logical_and(mask, cols <= rows)
+    s = jnp.where(mask, s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    o_ref[0] = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+# fp32 scores for one q block must fit comfortably in VMEM
+_SINGLE_SHOT_MAX_KV = 4096
+
+
 def _flash_forward(q, k, v, scale: float, causal: bool):
-    """q: (B, Sq, D), k/v: (B, Skv, D) — B = batch*heads folded."""
+    """q: (B, Sq, D), k/v: (B, Skv, D) -- B = batch*heads folded.
+
+    head_dim is never padded: a block whose last dim equals the array dim is
+    tile-legal and Mosaic's internal lane padding is free."""
     batch, q_len, d = q.shape
     kv_len = k.shape[1]
     bq, bk = _block_sizes(q_len, kv_len)
-
-    d_pad = max(128, int(np.ceil(d / 128)) * 128)
     q_pad = int(np.ceil(q_len / bq)) * bq
-    kv_pad = int(np.ceil(kv_len / bk)) * bk
-
-    qp = jnp.pad(q, ((0, 0), (0, q_pad - q_len), (0, d_pad - d)))
-    kp = jnp.pad(k, ((0, 0), (0, kv_pad - kv_len), (0, d_pad - d)))
-    vp = jnp.pad(v, ((0, 0), (0, kv_pad - kv_len), (0, d_pad - d)))
-
+    qp = jnp.pad(q, ((0, 0), (0, q_pad - q_len), (0, 0)))
     num_q = q_pad // bq
-    num_kv = kv_pad // bk
-    grid = (batch, num_q, num_kv)
 
+    if kv_len <= _SINGLE_SHOT_MAX_KV:
+        kv_pad = int(np.ceil(kv_len / 128)) * 128
+        kp = jnp.pad(k, ((0, 0), (0, kv_pad - kv_len), (0, 0)))
+        vp = jnp.pad(v, ((0, 0), (0, kv_pad - kv_len), (0, 0)))
+        out = pl.pallas_call(
+            functools.partial(
+                _kernel_single, scale=scale, causal=causal,
+                q_len=q_len, kv_len=kv_len, bq=bq,
+            ),
+            grid=(batch, num_q),
+            in_specs=[
+                pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0)),
+                pl.BlockSpec((1, kv_pad, d), lambda b, i: (b, 0, 0)),
+                pl.BlockSpec((1, kv_pad, d), lambda b, i: (b, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0)),
+            out_shape=jax.ShapeDtypeStruct((batch, q_pad, d), q.dtype),
+            compiler_params=None if _INTERPRET else pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+            ),
+            interpret=_INTERPRET,
+        )(qp, kp, vp)
+        return out[:, :q_len, :]
+
+    # long-sequence fallback: streamed online softmax over kv blocks
+    kv_pad = int(np.ceil(kv_len / bk)) * bk
+    kp = jnp.pad(k, ((0, 0), (0, kv_pad - kv_len), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, kv_pad - kv_len), (0, 0)))
+    num_kv = kv_pad // bk
     out = pl.pallas_call(
         functools.partial(
             _kernel, scale=scale, causal=causal, q_len=q_len, kv_len=kv_len,
             bq=bq, bk=bk, num_kv=num_kv,
         ),
-        grid=grid,
+        grid=(batch, num_q, num_kv),
         in_specs=[
-            pl.BlockSpec((1, bq, d_pad), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, bk, d_pad), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, bk, d_pad), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
         ],
-        out_specs=pl.BlockSpec((1, bq, d_pad), lambda b, i, j: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((batch, q_pad, d_pad), q.dtype),
+        out_specs=pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((batch, q_pad, d), q.dtype),
         scratch_shapes=[
             pltpu.VMEM((bq, 128), jnp.float32),
             pltpu.VMEM((bq, 128), jnp.float32),
-            pltpu.VMEM((bq, d_pad), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
         ],
         compiler_params=None if _INTERPRET else pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=_INTERPRET,
     )(qp, kp, vp)
-    return out[:, :q_len, :d]
+    return out[:, :q_len, :]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))

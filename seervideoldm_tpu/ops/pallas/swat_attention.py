@@ -69,12 +69,14 @@ def _rotate_half_roll(x: jnp.ndarray) -> jnp.ndarray:
 def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool,
             f: int, ws: int, h: int, w: int, rot_dim: int, d_pad: int,
             theta: float):
-    """One grid cell = one full-width row of windows (block (1, f, ws, w, d));
-    Mosaic needs the last two block dims (w, d) tile-aligned, so windows are
-    carved out inside the kernel with static slices (unrolled loop)."""
+    """Block = one full-width row of windows (1, f, ws, w, d) — Mosaic needs
+    the last two block dims (w, d) tile-aligned.  The window index is the
+    innermost grid dim: the block indices don't change across it, so Pallas
+    keeps the strip resident (no re-fetch) while each program's VMEM stack
+    only holds ONE window's temporaries."""
     wi = pl.program_id(1)
+    j = pl.program_id(2)
     tokens = f * ws * ws
-    nw = w // ws
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (tokens, d_pad), 1)
     pair = (lane // 2).astype(jnp.float32)
@@ -87,54 +89,50 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool,
     row_in_win = rem // ws
     col_in_win = rem % ws
 
-    rows_t = jax.lax.broadcasted_iota(jnp.int32, (tokens, tokens), 0)
-    cols_t = jax.lax.broadcasted_iota(jnp.int32, (tokens, tokens), 1)
-    tril = cols_t <= rows_t
+    # f-major token order inside window j of this row strip
+    pos = (frame * (h * w) + (wi * ws + row_in_win) * w
+           + (j * ws + col_in_win)).astype(jnp.float32)
+    phase = pos * inv_freq
+    cos = jnp.cos(phase)
+    sin = jnp.sin(phase)
 
-    for j in range(nw):
-        # f-major token order inside window j of this row strip
-        pos = (frame * (h * w) + (wi * ws + row_in_win) * w
-               + (j * ws + col_in_win)).astype(jnp.float32)
-        phase = pos * inv_freq
-        cos = jnp.cos(phase)
-        sin = jnp.sin(phase)
+    def rotate(t):
+        t32 = t.astype(jnp.float32)
+        rotated = t32 * cos + _rotate_half_roll(t32) * sin
+        return jnp.where(in_rot, rotated, t32).astype(t.dtype)
 
-        def rotate(t):
-            t32 = t.astype(jnp.float32)
-            rotated = t32 * cos + _rotate_half_roll(t32) * sin
-            return jnp.where(in_rot, rotated, t32).astype(t.dtype)
+    def window(ref):
+        return ref[0, :, :, pl.ds(j * ws, ws), :].reshape(tokens, d_pad)
 
-        def window(ref):
-            return ref[0, :, :, j * ws : (j + 1) * ws, :].reshape(tokens, d_pad)
-
-        q = rotate(window(q_ref))
-        k = rotate(window(k_ref))
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        if causal:
-            s = jnp.where(tril, s, NEG_INF)
-        p = jax.nn.softmax(s, axis=-1)
-        out = jax.lax.dot_general(
-            p.astype(v_ref.dtype), window(v_ref), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        o_ref[0, :, :, j * ws : (j + 1) * ws, :] = (
-            out.reshape(f, ws, ws, d_pad).astype(o_ref.dtype)
-        )
+    q = rotate(window(q_ref))
+    k = rotate(window(k_ref))
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    if causal:
+        rows_t = jax.lax.broadcasted_iota(jnp.int32, (tokens, tokens), 0)
+        cols_t = jax.lax.broadcasted_iota(jnp.int32, (tokens, tokens), 1)
+        s = jnp.where(cols_t <= rows_t, s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    out = jax.lax.dot_general(
+        p.astype(v_ref.dtype), window(v_ref), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0, :, :, pl.ds(j * ws, ws), :] = (
+        out.reshape(f, ws, ws, d_pad).astype(o_ref.dtype)
+    )
 
 
 def _swat_forward(q, k, v, scale: float, causal: bool, ws: int, rot_dim: int,
                   theta: float = 10000.0):
     """q/k/v: (B, f, h, w, d) -> same shape; B = batch*heads folded."""
     batch, f, h, w, d = q.shape
-    d_pad = max(128, int(np.ceil(d / 128)) * 128)
-    if d_pad != d:
-        pad = ((0, 0), (0, 0), (0, 0), (0, 0), (0, d_pad - d))
-        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+    # no head_dim padding: block last dim == array dim is tile-legal and
+    # avoids 3x MXU waste at d=40 (Mosaic pads lanes internally for free)
+    d_pad = d
 
-    grid = (batch, h // ws)
-    spec = pl.BlockSpec((1, f, ws, w, d_pad), lambda b, i: (b, 0, i, 0, 0))
+    grid = (batch, h // ws, w // ws)
+    spec = pl.BlockSpec((1, f, ws, w, d_pad), lambda b, i, j: (b, 0, i, 0, 0))
     out = pl.pallas_call(
         functools.partial(
             _kernel, scale=scale, causal=causal, f=f, ws=ws, h=h, w=w,
@@ -145,11 +143,11 @@ def _swat_forward(q, k, v, scale: float, causal: bool, ws: int, rot_dim: int,
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((batch, f, h, w, d_pad), q.dtype),
         compiler_params=None if _INTERPRET else pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=_INTERPRET,
     )(q, k, v)
-    return out[..., :d]
+    return out
 
 
 def _unfused_reference(q, k, v, scale, causal, ws, rot_dim):
