@@ -70,13 +70,13 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool,
             f: int, ws: int, h: int, w: int, rot_dim: int, d_pad: int,
             theta: float):
     """Block = one full-width row of windows (1, f, ws, w, d) — Mosaic needs
-    the last two block dims (w, d) tile-aligned.  The window index is the
-    innermost grid dim: the block indices don't change across it, so Pallas
-    keeps the strip resident (no re-fetch) while each program's VMEM stack
-    only holds ONE window's temporaries."""
+    the last two block dims (w, d) tile-aligned.  One program handles the
+    whole strip, looping windows with ``fori_loop`` so the VMEM stack only
+    ever holds ONE window's temporaries (an unrolled loop OOMs the stack,
+    one-window-per-program drowns in per-program overhead)."""
     wi = pl.program_id(1)
-    j = pl.program_id(2)
     tokens = f * ws * ws
+    nw = w // ws
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (tokens, d_pad), 1)
     pair = (lane // 2).astype(jnp.float32)
@@ -89,38 +89,44 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool,
     row_in_win = rem // ws
     col_in_win = rem % ws
 
-    # f-major token order inside window j of this row strip
-    pos = (frame * (h * w) + (wi * ws + row_in_win) * w
-           + (j * ws + col_in_win)).astype(jnp.float32)
-    phase = pos * inv_freq
-    cos = jnp.cos(phase)
-    sin = jnp.sin(phase)
+    rows_t = jax.lax.broadcasted_iota(jnp.int32, (tokens, tokens), 0)
+    cols_t = jax.lax.broadcasted_iota(jnp.int32, (tokens, tokens), 1)
+    tril = cols_t <= rows_t
 
-    def rotate(t):
-        t32 = t.astype(jnp.float32)
-        rotated = t32 * cos + _rotate_half_roll(t32) * sin
-        return jnp.where(in_rot, rotated, t32).astype(t.dtype)
+    def body(j, _):
+        # f-major token order inside window j of this row strip
+        pos = (frame * (h * w) + (wi * ws + row_in_win) * w
+               + (j * ws + col_in_win)).astype(jnp.float32)
+        phase = pos * inv_freq
+        cos = jnp.cos(phase)
+        sin = jnp.sin(phase)
 
-    def window(ref):
-        return ref[0, :, :, pl.ds(j * ws, ws), :].reshape(tokens, d_pad)
+        def rotate(t):
+            t32 = t.astype(jnp.float32)
+            rotated = t32 * cos + _rotate_half_roll(t32) * sin
+            return jnp.where(in_rot, rotated, t32).astype(t.dtype)
 
-    q = rotate(window(q_ref))
-    k = rotate(window(k_ref))
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    if causal:
-        rows_t = jax.lax.broadcasted_iota(jnp.int32, (tokens, tokens), 0)
-        cols_t = jax.lax.broadcasted_iota(jnp.int32, (tokens, tokens), 1)
-        s = jnp.where(cols_t <= rows_t, s, NEG_INF)
-    p = jax.nn.softmax(s, axis=-1)
-    out = jax.lax.dot_general(
-        p.astype(v_ref.dtype), window(v_ref), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    o_ref[0, :, :, pl.ds(j * ws, ws), :] = (
-        out.reshape(f, ws, ws, d_pad).astype(o_ref.dtype)
-    )
+        def window(ref):
+            return ref[0, :, :, pl.ds(j * ws, ws), :].reshape(tokens, d_pad)
+
+        q = rotate(window(q_ref))
+        k = rotate(window(k_ref))
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        if causal:
+            s = jnp.where(tril, s, NEG_INF)
+        p = jax.nn.softmax(s, axis=-1)
+        out = jax.lax.dot_general(
+            p.astype(v_ref.dtype), window(v_ref), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, :, pl.ds(j * ws, ws), :] = (
+            out.reshape(f, ws, ws, d_pad).astype(o_ref.dtype)
+        )
+        return 0
+
+    jax.lax.fori_loop(0, nw, body, 0)
 
 
 def _swat_forward(q, k, v, scale: float, causal: bool, ws: int, rot_dim: int,
@@ -131,8 +137,8 @@ def _swat_forward(q, k, v, scale: float, causal: bool, ws: int, rot_dim: int,
     # avoids 3x MXU waste at d=40 (Mosaic pads lanes internally for free)
     d_pad = d
 
-    grid = (batch, h // ws, w // ws)
-    spec = pl.BlockSpec((1, f, ws, w, d_pad), lambda b, i, j: (b, 0, i, 0, 0))
+    grid = (batch, h // ws)
+    spec = pl.BlockSpec((1, f, ws, w, d_pad), lambda b, i: (b, 0, i, 0, 0))
     out = pl.pallas_call(
         functools.partial(
             _kernel, scale=scale, causal=causal, f=f, ws=ws, h=h, w=w,
@@ -143,7 +149,7 @@ def _swat_forward(q, k, v, scale: float, causal: bool, ws: int, rot_dim: int,
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((batch, f, h, w, d_pad), q.dtype),
         compiler_params=None if _INTERPRET else pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel"),
         ),
         interpret=_INTERPRET,
     )(q, k, v)
