@@ -93,40 +93,53 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool,
     cols_t = jax.lax.broadcasted_iota(jnp.int32, (tokens, tokens), 1)
     tril = cols_t <= rows_t
 
-    def body(j, _):
-        # f-major token order inside window j of this row strip
-        pos = (frame * (h * w) + (wi * ws + row_in_win) * w
-               + (j * ws + col_in_win)).astype(jnp.float32)
-        phase = pos * inv_freq
-        cos = jnp.cos(phase)
-        sin = jnp.sin(phase)
+    # Mosaic requires dynamic sublane indices to be multiples of 8: slice
+    # 8-wide chunks of the w axis and split windows statically inside.
+    sw = max(ws, 8)
+    wins_per_slice = sw // ws
 
-        def rotate(t):
-            t32 = t.astype(jnp.float32)
-            rotated = t32 * cos + _rotate_half_roll(t32) * sin
-            return jnp.where(in_rot, rotated, t32).astype(t.dtype)
+    def body(c, _):
+        chunk_q = q_ref[0, :, :, pl.ds(c * sw, sw), :]
+        chunk_k = k_ref[0, :, :, pl.ds(c * sw, sw), :]
+        chunk_v = v_ref[0, :, :, pl.ds(c * sw, sw), :]
+        outs = []
+        for sub in range(wins_per_slice):
+            j_col = c * sw + sub * ws  # window's first column in w
+            pos = (frame * (h * w) + (wi * ws + row_in_win) * w
+                   + (j_col + col_in_win)).astype(jnp.float32)
+            phase = pos * inv_freq
+            cos = jnp.cos(phase)
+            sin = jnp.sin(phase)
 
-        def window(ref):
-            return ref[0, :, :, pl.ds(j * ws, ws), :].reshape(tokens, d_pad)
+            def rotate(t):
+                t32 = t.astype(jnp.float32)
+                rotated = t32 * cos + _rotate_half_roll(t32) * sin
+                return jnp.where(in_rot, rotated, t32).astype(t.dtype)
 
-        q = rotate(window(q_ref))
-        k = rotate(window(k_ref))
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        if causal:
-            s = jnp.where(tril, s, NEG_INF)
-        p = jax.nn.softmax(s, axis=-1)
-        out = jax.lax.dot_general(
-            p.astype(v_ref.dtype), window(v_ref), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        o_ref[0, :, :, pl.ds(j * ws, ws), :] = (
-            out.reshape(f, ws, ws, d_pad).astype(o_ref.dtype)
-        )
+            def window(chunk):
+                return chunk[:, :, sub * ws : (sub + 1) * ws, :].reshape(
+                    tokens, d_pad
+                )
+
+            q = rotate(window(chunk_q))
+            k = rotate(window(chunk_k))
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            if causal:
+                s = jnp.where(tril, s, NEG_INF)
+            p = jax.nn.softmax(s, axis=-1)
+            out = jax.lax.dot_general(
+                p.astype(chunk_v.dtype), window(chunk_v), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            outs.append(out.reshape(f, ws, ws, d_pad))
+        merged = jnp.concatenate(outs, axis=2) if len(outs) > 1 else outs[0]
+        o_ref[0, :, :, pl.ds(c * sw, sw), :] = merged.astype(o_ref.dtype)
         return 0
 
-    jax.lax.fori_loop(0, nw, body, 0)
+    jax.lax.fori_loop(0, w // sw, body, 0)
 
 
 def _swat_forward(q, k, v, scale: float, causal: bool, ws: int, rot_dim: int,
