@@ -109,34 +109,40 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
 
 
 def _kernel_single(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool,
-                   q_len: int, kv_len: int, bq: int):
-    """Single-shot attention for one q block against the full (resident) K/V.
-
-    At this model's sequence lengths (<=4096) the fp32 score block
-    (bq x kv_pad <= 8 MB) fits VMEM, so streaming/online-softmax is pure
-    overhead -- one big MXU matmul per program beats 8 small ones."""
-    i = pl.program_id(1)
-    q = q_ref[0]  # (bq, d)
+                   q_len: int, kv_len: int, bq: int, num_q: int):
+    """One program per (batch*heads) row: K/V stay resident while a
+    ``fori_loop`` walks q blocks.  At this model's sequence lengths
+    (kv <= 4096) the fp32 score block (bq x kv_pad <= 8 MB) fits VMEM, so
+    streaming/online-softmax is pure overhead -- and one program per row
+    amortizes per-program latency over all q blocks."""
     k = k_ref[0]  # (kv_pad, d)
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (bq, kv_pad)
-    kv_pad = s.shape[1]
-    cols = jax.lax.broadcasted_iota(jnp.int32, (bq, kv_pad), 1)
-    mask = cols < kv_len
-    if causal:
-        rows = i * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, kv_pad), 0)
-        mask = jnp.logical_and(mask, cols <= rows)
-    s = jnp.where(mask, s, NEG_INF)
-    p = jax.nn.softmax(s, axis=-1)
-    o_ref[0] = jax.lax.dot_general(
-        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(o_ref.dtype)
+    v = v_ref[0]
+    kv_pad = k.shape[0]
+
+    def body(i, _):
+        q = q_ref[0, pl.ds(i * bq, bq), :]  # (bq, d)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (bq, kv_pad)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (bq, kv_pad), 1)
+        mask = cols < kv_len
+        if causal:
+            rows = i * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, kv_pad), 0)
+            mask = jnp.logical_and(mask, cols <= rows)
+        s = jnp.where(mask, s, NEG_INF)
+        p = jax.nn.softmax(s, axis=-1)
+        o_ref[0, pl.ds(i * bq, bq), :] = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, num_q, body, 0)
 
 
 # fp32 scores for one q block must fit comfortably in VMEM
 _SINGLE_SHOT_MAX_KV = 4096
+_SCORE_BYTES_BUDGET = 4 * 1024 * 1024  # plus like-sized softmax temporaries on the stack
 
 
 def _flash_forward(q, k, v, scale: float, causal: bool):
@@ -146,35 +152,40 @@ def _flash_forward(q, k, v, scale: float, causal: bool):
     tile-legal and Mosaic's internal lane padding is free."""
     batch, q_len, d = q.shape
     kv_len = k.shape[1]
-    bq, bk = _block_sizes(q_len, kv_len)
-    q_pad = int(np.ceil(q_len / bq)) * bq
-    qp = jnp.pad(q, ((0, 0), (0, q_pad - q_len), (0, 0)))
-    num_q = q_pad // bq
 
     if kv_len <= _SINGLE_SHOT_MAX_KV:
         kv_pad = int(np.ceil(kv_len / 128)) * 128
+        # largest q block whose fp32 scores fit the budget
+        bq = max(128, min(4096, (_SCORE_BYTES_BUDGET // (4 * kv_pad)) // 128 * 128))
+        q_pad = int(np.ceil(q_len / bq)) * bq
+        num_q = q_pad // bq
+        qp = jnp.pad(q, ((0, 0), (0, q_pad - q_len), (0, 0)))
         kp = jnp.pad(k, ((0, 0), (0, kv_pad - kv_len), (0, 0)))
         vp = jnp.pad(v, ((0, 0), (0, kv_pad - kv_len), (0, 0)))
         out = pl.pallas_call(
             functools.partial(
                 _kernel_single, scale=scale, causal=causal,
-                q_len=q_len, kv_len=kv_len, bq=bq,
+                q_len=q_len, kv_len=kv_len, bq=bq, num_q=num_q,
             ),
-            grid=(batch, num_q),
+            grid=(batch,),
             in_specs=[
-                pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0)),
-                pl.BlockSpec((1, kv_pad, d), lambda b, i: (b, 0, 0)),
-                pl.BlockSpec((1, kv_pad, d), lambda b, i: (b, 0, 0)),
+                pl.BlockSpec((1, q_pad, d), lambda b: (b, 0, 0)),
+                pl.BlockSpec((1, kv_pad, d), lambda b: (b, 0, 0)),
+                pl.BlockSpec((1, kv_pad, d), lambda b: (b, 0, 0)),
             ],
-            out_specs=pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0)),
+            out_specs=pl.BlockSpec((1, q_pad, d), lambda b: (b, 0, 0)),
             out_shape=jax.ShapeDtypeStruct((batch, q_pad, d), q.dtype),
             compiler_params=None if _INTERPRET else pltpu.CompilerParams(
-                dimension_semantics=("parallel", "parallel"),
+                dimension_semantics=("parallel",),
             ),
             interpret=_INTERPRET,
         )(qp, kp, vp)
         return out[:, :q_len, :]
 
+    bq, bk = _block_sizes(q_len, kv_len)
+    q_pad = int(np.ceil(q_len / bq)) * bq
+    qp = jnp.pad(q, ((0, 0), (0, q_pad - q_len), (0, 0)))
+    num_q = q_pad // bq
     # long-sequence fallback: streamed online softmax over kv blocks
     kv_pad = int(np.ceil(kv_len / bk)) * bk
     kp = jnp.pad(k, ((0, 0), (0, kv_pad - kv_len), (0, 0)))
