@@ -10,7 +10,6 @@ Channels-last videos ``(b, t, h, w, 3)`` in [-1, 1].
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax

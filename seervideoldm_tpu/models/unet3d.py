@@ -20,8 +20,8 @@ Layout: channels-last. ``sample`` is ``(b, f, h, w, c)``; use
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Optional, Sequence
+from dataclasses import dataclass
+from typing import Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -12,7 +12,6 @@ checkpointing when ``remat=True``.
 """
 from __future__ import annotations
 
-from typing import Optional
 
 import flax.linen as nn
 import jax.numpy as jnp

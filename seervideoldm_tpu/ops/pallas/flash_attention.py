@@ -19,7 +19,6 @@ a fused backward kernel is a later optimization.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

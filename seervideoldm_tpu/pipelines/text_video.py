@@ -14,7 +14,7 @@ boundary: channels-last ``(b, f, h, w, c)`` in [-1, 1].
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Optional
 
 import jax

@@ -10,7 +10,6 @@ warmup, grad-norm clip 0.3 (``train.py:383``), and **only** the UNet's
 """
 from __future__ import annotations
 
-import math
 from typing import Any
 
 import jax

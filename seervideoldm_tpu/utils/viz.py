@@ -7,7 +7,7 @@ Equivalent of reference ``utils/ddim_sampling_utils.py:46-123``
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 from PIL import Image

@@ -1,0 +1,94 @@
+"""Training-step benchmark at the reference recipe scale.
+
+Measures ms/optimizer-step for the Sthv2 recipe (256px, 12 frames, bs 1,
+temporal-attentions + FSText trainable) with rematerialization, on the real
+chip.  Prints one JSON line.  Run: python tools/bench_train.py
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from seervideoldm_tpu.utils.cache import enable_compilation_cache
+
+
+def main():
+    enable_compilation_cache()
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--resolution", type=int, default=256)
+    parser.add_argument("--num_frames", type=int, default=12)
+    parser.add_argument("--cond_frames", type=int, default=2)
+    parser.add_argument("--batch", type=int, default=1)
+    parser.add_argument("--remat", action="store_true", default=True)
+    parser.add_argument("--iters", type=int, default=3)
+    args = parser.parse_args()
+
+    from seervideoldm_tpu.models.fstext import FSTextTransformer
+    from seervideoldm_tpu.models.unet3d import SeerUNet
+    from seervideoldm_tpu.pipelines.text_video import SeerModels
+    from seervideoldm_tpu.training.optim import build_optimizer
+    from seervideoldm_tpu.training.trainer import TrainState, make_train_step
+
+    dtype = jnp.bfloat16
+    latent = args.resolution // 8
+    b, f, f1 = args.batch, args.num_frames, args.cond_frames
+    f2 = f - f1
+
+    # build only the trainable stack (VAE/CLIP encoding is a frozen
+    # prepare pass outside the step)
+    unet = SeerUNet(dtype=dtype, remat=args.remat)
+    fstext = FSTextTransformer(num_frames=f, dtype=dtype)
+    rng = jax.random.PRNGKey(0)
+    unet_params = unet.init(
+        rng, jnp.zeros((b, f, latent, latent, 4), dtype),
+        jnp.zeros((b,), jnp.int32), jnp.zeros((b, f, 77, 768), dtype), f1,
+    )["params"]
+    fstext_params = fstext.init(rng, jnp.zeros((b, 77, 768), dtype))["params"]
+    params = {"unet": unet_params, "fstext": fstext_params}
+
+    class M:  # minimal SeerModels stand-in for make_train_step
+        pass
+
+    models = M()
+    models.unet, models.fstext = unet, fstext
+
+    tx, _ = build_optimizer(params, 1e-4, warmup_steps=1, total_steps=1000)
+    state = TrainState.create(params, tx)
+    train_step = make_train_step(models, tx, cond_frames=f1)
+
+    batch = {
+        "latents_x0": jax.random.normal(rng, (b, f1, latent, latent, 4), dtype),
+        "latents": jax.random.normal(rng, (b, f2, latent, latent, 4), dtype),
+        "clip_emb": jax.random.normal(rng, (b, 77, 768), dtype),
+    }
+    state, metrics = train_step(state, batch, jax.random.PRNGKey(1))
+    float(metrics["loss"])  # sync
+
+    times = []
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        state, metrics = train_step(state, batch, jax.random.PRNGKey(2))
+        float(metrics["loss"])
+        times.append(time.perf_counter() - t0)
+
+    dt = float(np.median(times))
+    print(json.dumps({
+        "metric": "train_step_ms",
+        "value": round(dt * 1000, 1),
+        "unit": "ms/step",
+        "detail": {"resolution": args.resolution, "batch": b, "frames": f,
+                   "remat": args.remat, "loss": float(metrics["loss"])},
+    }))
+
+
+if __name__ == "__main__":
+    main()
