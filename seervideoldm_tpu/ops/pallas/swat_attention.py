@@ -94,7 +94,7 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool,
 
     # Mosaic requires dynamic sublane indices to be multiples of 8: slice
     # 8-wide chunks of the w axis and split windows statically inside.
-    sw = max(ws, 8)
+    sw = min(max(ws, 8), w)
     wins_per_slice = sw // ws
 
     def body(c, _):
@@ -138,7 +138,10 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool,
         o_ref[0, :, :, pl.ds(c * sw, sw), :] = merged.astype(o_ref.dtype)
         return 0
 
-    jax.lax.fori_loop(0, w // sw, body, 0)
+    if w // sw == 1:
+        body(0, 0)  # static index keeps Mosaic's alignment prover happy
+    else:
+        jax.lax.fori_loop(0, w // sw, body, 0)
 
 
 def _swat_forward(q, k, v, scale: float, causal: bool, ws: int, rot_dim: int,
