@@ -1,6 +1,12 @@
 from .optim import build_optimizer, trainable_mask, lr_schedule
 from .meters import RunningAverageMeter
-from .trainer import TrainState, make_train_step, prepare_batch_fn
+from .trainer import (
+    TrainState,
+    make_train_step,
+    prepare_batch_fn,
+    partition_params,
+    combine_params,
+)
 
 __all__ = [
     "build_optimizer",
@@ -8,6 +14,8 @@ __all__ = [
     "lr_schedule",
     "RunningAverageMeter",
     "TrainState",
+    "partition_params",
+    "combine_params",
     "make_train_step",
     "prepare_batch_fn",
 ]

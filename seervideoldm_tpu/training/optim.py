@@ -59,19 +59,29 @@ def build_optimizer(
     eps: float = 1e-8,
     max_grad_norm: float = 0.3,
     accumulation_steps: int = 1,
+    partitioned: bool = False,
 ) -> tuple[optax.GradientTransformation, optax.Schedule]:
-    """Returns (optimizer, schedule).  Frozen leaves receive zero updates."""
+    """Returns (optimizer, schedule).
+
+    ``partitioned=True``: ``params`` is already the trainable-only subtree
+    (see ``trainer.partition_params``) — no masking needed, and optimizer
+    state exists only for trainable leaves.  Otherwise frozen leaves get
+    zero updates via ``multi_transform`` (but gradients/moments still
+    materialize — use partitioning at real scale)."""
     schedule = lr_schedule(scheduler, learning_rate, warmup_steps, total_steps)
     inner = optax.chain(
         optax.clip_by_global_norm(max_grad_norm),
         optax.adamw(schedule, b1=betas[0], b2=betas[1], eps=eps,
                     weight_decay=weight_decay),
     )
-    mask = trainable_mask(params)
-    labels = jax.tree.map(lambda m: "train" if m else "freeze", mask)
-    tx = optax.multi_transform(
-        {"train": inner, "freeze": optax.set_to_zero()}, param_labels=labels
-    )
+    if partitioned:
+        tx = inner
+    else:
+        mask = trainable_mask(params)
+        labels = jax.tree.map(lambda m: "train" if m else "freeze", mask)
+        tx = optax.multi_transform(
+            {"train": inner, "freeze": optax.set_to_zero()}, param_labels=labels
+        )
     if accumulation_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accumulation_steps)
     return tx, schedule

@@ -33,7 +33,7 @@ from ..models.vae import VAE_SCALE
 
 class TrainState(flax.struct.PyTreeNode):
     step: jnp.ndarray
-    params: Any  # {"unet": ..., "fstext": ...}
+    params: Any  # trainable-only tree (or full tree if not partitioned)
     opt_state: Any
 
     @staticmethod
@@ -41,6 +41,32 @@ class TrainState(flax.struct.PyTreeNode):
         return TrainState(
             step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params)
         )
+
+
+def partition_params(params: dict, mask: Any) -> tuple[dict, dict]:
+    """Split a param tree into (trainable, frozen) flat-key subtrees.
+
+    The reference stops gradients with ``requires_grad=False``
+    (``train.py:188-192``); the JAX equivalent is differentiating only the
+    trainable subtree — the backward pass never materializes (or computes)
+    frozen-weight gradients, and Adam state exists only for trainable leaves.
+    """
+    import flax.traverse_util as tu
+
+    flat = tu.flatten_dict(params)
+    flat_mask = tu.flatten_dict(mask)
+    train = {k: v for k, v in flat.items() if flat_mask[k]}
+    frozen = {k: v for k, v in flat.items() if not flat_mask[k]}
+    return tu.unflatten_dict(train), tu.unflatten_dict(frozen)
+
+
+def combine_params(trainable: dict, frozen: dict) -> dict:
+    """Inverse of partition_params."""
+    import flax.traverse_util as tu
+
+    flat = dict(tu.flatten_dict(frozen))
+    flat.update(tu.flatten_dict(trainable))
+    return tu.unflatten_dict(flat)
 
 
 def prepare_batch_fn(models) -> Callable:
@@ -76,14 +102,24 @@ def make_train_step(
     cond_frames: int = 2,
     prediction_type: str = "epsilon",
     text_loss: bool = False,
+    frozen_params: Optional[dict] = None,
 ) -> Callable:
-    """Build the jitted train step: (state, batch, rng) -> (state, metrics)."""
+    """Build the jitted train step: (state, batch, rng) -> (state, metrics).
+
+    With ``frozen_params`` (from ``partition_params``), ``state.params``
+    holds only the trainable subtree — gradients and optimizer state never
+    exist for frozen weights (memory: the reference's fp32 UNet + Adam would
+    not fit a 16 GB chip otherwise)."""
     train_schedule = schedule or DiffusionSchedule.sd15_train_schedule()
     acp = jnp.asarray(train_schedule.alphas_cumprod)
     num_timesteps = train_schedule.num_timesteps
     unet, fstext = models.unet, models.fstext
 
-    def loss_fn(params, batch, noise, timesteps):
+    def loss_fn(trainable, batch, noise, timesteps):
+        params = (
+            combine_params(trainable, frozen_params)
+            if frozen_params is not None else trainable
+        )
         context = fstext.apply({"params": params["fstext"]}, batch["clip_emb"])
         loss_text = 0.0
         if text_loss:

@@ -35,8 +35,10 @@ def main():
     from seervideoldm_tpu.models.fstext import FSTextTransformer
     from seervideoldm_tpu.models.unet3d import SeerUNet
     from seervideoldm_tpu.pipelines.text_video import SeerModels
-    from seervideoldm_tpu.training.optim import build_optimizer
-    from seervideoldm_tpu.training.trainer import TrainState, make_train_step
+    from seervideoldm_tpu.training.optim import build_optimizer, trainable_mask
+    from seervideoldm_tpu.training.trainer import (
+        TrainState, make_train_step, partition_params,
+    )
 
     dtype = jnp.bfloat16
     latent = args.resolution // 8
@@ -61,9 +63,11 @@ def main():
     models = M()
     models.unet, models.fstext = unet, fstext
 
-    tx, _ = build_optimizer(params, 1e-4, warmup_steps=1, total_steps=1000)
-    state = TrainState.create(params, tx)
-    train_step = make_train_step(models, tx, cond_frames=f1)
+    trainable, frozen = partition_params(params, trainable_mask(params))
+    tx, _ = build_optimizer(trainable, 1e-4, warmup_steps=1, total_steps=1000,
+                            partitioned=True)
+    state = TrainState.create(trainable, tx)
+    train_step = make_train_step(models, tx, cond_frames=f1, frozen_params=frozen)
 
     batch = {
         "latents_x0": jax.random.normal(rng, (b, f1, latent, latent, 4), dtype),

@@ -28,7 +28,14 @@ from seervideoldm_tpu.parallel.mesh import batch_sharding, create_mesh, replicat
 from seervideoldm_tpu.pipelines.loading import load_models
 from seervideoldm_tpu.training.meters import RunningAverageMeter
 from seervideoldm_tpu.training.optim import build_optimizer
-from seervideoldm_tpu.training.trainer import TrainState, make_train_step, prepare_batch_fn
+from seervideoldm_tpu.training.optim import trainable_mask
+from seervideoldm_tpu.training.trainer import (
+    TrainState,
+    combine_params,
+    make_train_step,
+    partition_params,
+    prepare_batch_fn,
+)
 
 
 def plot_graphs(losses: RunningAverageMeter, lrs: RunningAverageMeter,
@@ -73,8 +80,10 @@ def main() -> None:
 
     models, tokenizer = load_models(cfg, rng)
     params = {"unet": models.unet_params, "fstext": models.fstext_params}
+    # gradients + Adam state only for temporal attentions + FSText
+    trainable, frozen = partition_params(params, trainable_mask(params))
     tx, schedule_fn = build_optimizer(
-        params,
+        trainable,
         cfg.learning_rate,
         scheduler=cfg.lr_scheduler,
         warmup_steps=cfg.lr_warmup_steps,
@@ -84,12 +93,14 @@ def main() -> None:
         eps=cfg.adam_epsilon,
         max_grad_norm=cfg.max_grad_norm,
         accumulation_steps=cfg.gradient_accumulation_steps,
+        partitioned=True,
     )
-    state = TrainState.create(params, tx)
+    state = TrainState.create(trainable, tx)
     state = jax.device_put(state, replicate(mesh))
+    frozen = jax.device_put(frozen, replicate(mesh))
     train_step = make_train_step(
         models, tx, cond_frames=cfg.cond_frames,
-        text_loss=bool(cfg.text_loss),
+        text_loss=bool(cfg.text_loss), frozen_params=frozen,
     )
     prepare = prepare_batch_fn(models)
 
@@ -171,9 +182,9 @@ def main() -> None:
                 print(f"step {global_step} loss {loss:.4f} lr {lr:.2e} "
                       f"{dt * 1000:.0f} ms/step")
             if global_step % cfg.save_steps == 0 and jax.process_index() == 0:
+                full = combine_params(state.params, frozen)
                 ckpt.save(global_step, state,
-                          params={"unet": state.params["unet"],
-                                  "fstext": state.params["fstext"]})
+                          params={"unet": full["unet"], "fstext": full["fstext"]})
                 import json
 
                 with open(os.path.join(
