@@ -166,3 +166,26 @@ def test_sharded_sampling_over_data_mesh(tiny_models):
                         rng=jax.random.PRNGKey(3), ddim_steps=2, guidance_scale=7.5)
     assert out.shape == (b, 3, 16, 16, 3)
     assert "data" in str(out.sharding)
+
+
+def test_partition_combine_roundtrip(tiny_models):
+    from seervideoldm_tpu.training.optim import trainable_mask
+    from seervideoldm_tpu.training.trainer import combine_params, partition_params
+
+    params = {"unet": tiny_models.unet_params, "fstext": tiny_models.fstext_params}
+    mask = trainable_mask(params)
+    trainable, frozen = partition_params(params, mask)
+    # only temporal attentions + fstext are trainable
+    t_flat = jax.tree_util.tree_leaves_with_path(trainable)
+    assert all(
+        "temporal_attentions" in "/".join(str(k.key) for k in path) or
+        "/".join(str(k.key) for k in path).startswith("fstext")
+        for path, _ in t_flat
+    )
+    combined = combine_params(trainable, frozen)
+    assert jax.tree_util.tree_structure(combined) == jax.tree_util.tree_structure(params)
+    for (p1, a), (p2, b) in zip(
+        jax.tree_util.tree_leaves_with_path(params),
+        jax.tree_util.tree_leaves_with_path(combined),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
