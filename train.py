@@ -97,6 +97,10 @@ def main() -> None:
     )
     state = TrainState.create(trainable, tx)
     state = jax.device_put(state, replicate(mesh))
+    if cfg.get("frozen_params_bf16"):
+        # halve frozen-weight memory (quality impact negligible: frozen
+        # weights are used in bf16 compute anyway)
+        frozen = jax.tree.map(lambda p: p.astype(jnp.bfloat16), frozen)
     frozen = jax.device_put(frozen, replicate(mesh))
     train_step = make_train_step(
         models, tx, cond_frames=cfg.cond_frames,
