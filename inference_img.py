@@ -37,6 +37,11 @@ def main() -> None:
     rng = jax.random.PRNGKey(cfg.seed)
     k_model, k_sample = jax.random.split(rng)
 
+    if not cfg.image_path:
+        raise SystemExit(
+            "error: --image_path (or the image_path config key) is required"
+        )
+
     models, tokenizer = load_models(cfg, k_model)
     ckpt_dir = resolve_finetuned_dir(cfg)
     if ckpt_dir:
