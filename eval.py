@@ -15,6 +15,11 @@ import numpy as np
 
 from seervideoldm_tpu.config import parse_args
 from seervideoldm_tpu.data import DataLoader, build_dataset
+from seervideoldm_tpu.parallel.distributed import (
+    gather_across_hosts,
+    initialize_distributed,
+    is_main_process,
+)
 from seervideoldm_tpu.pipelines.loading import (
     load_finetuned,
     load_models,
@@ -31,6 +36,7 @@ def main() -> None:
     from seervideoldm_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    initialize_distributed()
     cfg = parse_args("Seer TPU FVD/KVD/IS evaluation")
     rng = jax.random.PRNGKey(cfg.seed)
     k_model, k_eval = jax.random.split(rng)
@@ -82,11 +88,13 @@ def main() -> None:
         cfg.resolution, cfg.num_frames, split="val",
     )
     loader = DataLoader(dataset, cfg.val_batch_size, shuffle=False,
-                        num_workers=int(cfg.get("num_workers", cfg.dataloader_num_workers)), drop_last=True)
+                        num_workers=int(cfg.get("num_workers", cfg.dataloader_num_workers)), drop_last=True,
+                        shard_index=jax.process_index(), num_shards=jax.process_count())
 
     pred_stack: list[np.ndarray] = []
     gt_stack: list[np.ndarray] = []
     fvd = kvd = float("nan")
+    num_batches = len(loader)
     for i, (videos, prompts) in enumerate(loader):
         video = jnp.asarray(videos)
         cond = video[:, : cfg.cond_frames]
@@ -103,29 +111,38 @@ def main() -> None:
             [np.asarray((cond + 1.0) / 2.0), np.asarray(samples)], axis=1
         )
         gt = np.asarray((video + 1.0) / 2.0)
-        pred_stack.append(to_uint8(pred))
-        gt_stack.append(to_uint8(gt))
-        n_acc = sum(len(p) for p in pred_stack)
+        # gather across hosts before bucketing (reference eval.py:226-231)
+        pred_stack.append(gather_across_hosts(to_uint8(pred)))
+        gt_stack.append(gather_across_hosts(to_uint8(gt)))
+        # concatenate once before both branches — the reference's IS branch
+        # reuses the pre-FVD-clear tensor (eval.py:235-247)
+        pred_cat = np.concatenate(pred_stack)
+        gt_cat = np.concatenate(gt_stack)
+        n_acc = len(pred_cat)
+        last = i == num_batches - 1
 
-        if cfg.compute_fvd and n_acc >= cfg.MAX_FVD_BATCH:
-            metrics = fvd_eval.update(
-                np.concatenate(pred_stack), np.concatenate(gt_stack)
-            )
+        # independent branches + final-batch flush regardless of bucket fill
+        # (reference eval.py:236-247)
+        if cfg.compute_fvd and (n_acc >= cfg.MAX_FVD_BATCH or last):
+            metrics = fvd_eval.update(pred_cat, gt_cat)
             fvd, kvd = metrics["fvd"], metrics["kvd"]
-            print(f"[{metrics['n']} clips] FVD {fvd:.2f} KVD {kvd:.4f}")
+            if is_main_process():
+                print(f"[{metrics['n']} clips] FVD {fvd:.2f} KVD {kvd:.4f}")
             pred_stack, gt_stack = [], []
-        elif cfg.compute_is and n_acc >= cfg.MAX_IS_BATCH:
-            samples_np = np.concatenate(pred_stack) / 127.5 - 1.0
+        if cfg.compute_is and (n_acc >= cfg.MAX_IS_BATCH or last):
+            samples_np = pred_cat / 127.5 - 1.0
             is_mean, is_std, y_score_stack = inception_score(
                 c3d_classify, samples_np.astype(np.float32), y_score_stack
             )
-            print(f"IS {is_mean:.2f} +- {is_std:.2f}")
+            if is_main_process():
+                print(f"IS {is_mean:.2f} +- {is_std:.2f}")
             pred_stack, gt_stack = [], []
 
-    if cfg.compute_fvd:
-        print(f"Final FVD {fvd:.2f}, KVD {kvd:.4f}")
-    if cfg.compute_is:
-        print(f"Final IS {is_mean:.2f} +- {is_std:.2f}")
+    if is_main_process():
+        if cfg.compute_fvd:
+            print(f"Final FVD {fvd:.2f}, KVD {kvd:.4f}")
+        if cfg.compute_is:
+            print(f"Final IS {is_mean:.2f} +- {is_std:.2f}")
 
 
 if __name__ == "__main__":

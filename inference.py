@@ -14,6 +14,11 @@ import numpy as np
 
 from seervideoldm_tpu.config import parse_args
 from seervideoldm_tpu.data import DataLoader, build_dataset
+from seervideoldm_tpu.parallel.distributed import (
+    gather_across_hosts,
+    initialize_distributed,
+    is_main_process,
+)
 from seervideoldm_tpu.pipelines.loading import (
     load_finetuned,
     load_models,
@@ -27,6 +32,7 @@ def main() -> None:
     from seervideoldm_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    initialize_distributed()
     cfg = parse_args("Seer TPU batch inference")
     rng = jax.random.PRNGKey(cfg.seed)
     k_model, k_sample = jax.random.split(rng)
@@ -42,7 +48,8 @@ def main() -> None:
         cfg.resolution, cfg.num_frames, split="val",
     )
     loader = DataLoader(dataset, cfg.val_batch_size, shuffle=False,
-                        num_workers=int(cfg.get("num_workers", cfg.dataloader_num_workers)), drop_last=True)
+                        num_workers=int(cfg.get("num_workers", cfg.dataloader_num_workers)), drop_last=True,
+                        shard_index=jax.process_index(), num_shards=jax.process_count())
 
     it = itertools.cycle(iter(loader))
     for i_ter in range(cfg.sample_iter):
@@ -64,12 +71,18 @@ def main() -> None:
                 num_frames=cfg.num_frames, rng=jax.random.fold_in(k_it, j),
                 ddim_steps=cfg.ddim_steps, guidance_scale=cfg.scale,
             )
-            save_visualization(
-                np.asarray(samples), np.asarray(recon),
-                np.asarray((gt + 1.0) / 2.0), np.asarray((cond + 1.0) / 2.0),
-                cfg.output_dir, global_step=i_ter * 10 + j,
-                num_sample_rows=cfg.n_rows,
-            )
+            # gather every host's clips, write from rank 0 only (reference
+            # utils/ddim_sampling_utils.py:60-63 concat_all_gather + rank gate)
+            samples_g = gather_across_hosts(np.asarray(samples))
+            recon_g = gather_across_hosts(np.asarray(recon))
+            gt_g = gather_across_hosts(np.asarray((gt + 1.0) / 2.0))
+            cond_g = gather_across_hosts(np.asarray((cond + 1.0) / 2.0))
+            if is_main_process():
+                save_visualization(
+                    samples_g, recon_g, gt_g, cond_g,
+                    cfg.output_dir, global_step=i_ter * 10 + j,
+                    num_sample_rows=cfg.n_rows,
+                )
         print(f"iteration {i_ter + 1}/{cfg.sample_iter} done")
 
 

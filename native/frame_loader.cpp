@@ -267,9 +267,14 @@ int decode_frames(const char** paths, int n, int resolution, float* out,
       } else {
         std::memset(dst, 0, frame_elems * sizeof(float));
       }
-      if (remaining.fetch_sub(1) == 1) {
+      // Decrement under the mutex: the waiter checks the predicate while
+      // holding done_mu, so it cannot observe remaining==0 (and destroy
+      // done_mu/done_cv on return) before this worker releases the lock.
+      {
         std::lock_guard<std::mutex> lock(done_mu);
-        done_cv.notify_all();
+        if (remaining.fetch_sub(1) == 1) {
+          done_cv.notify_all();
+        }
       }
     });
   }

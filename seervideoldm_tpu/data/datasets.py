@@ -32,7 +32,9 @@ import numpy as np
 from .transforms import cast_num_frames, load_frame
 
 
-def _load_clip(paths: Sequence[str], resolution: int, num_frames: int) -> np.ndarray:
+def _load_clip(paths: Sequence[str], resolution: int, num_frames: int,
+               horizontal_flip: bool = False,
+               force_num_frames: bool = True) -> np.ndarray:
     frames = None
     if all(str(p).lower().endswith((".jpg", ".jpeg")) for p in paths):
         from .native import decode_frames
@@ -40,19 +42,31 @@ def _load_clip(paths: Sequence[str], resolution: int, num_frames: int) -> np.nda
         frames = decode_frames([str(p) for p in paths], resolution)
     if frames is None:  # non-JPEG inputs or native loader unavailable
         frames = np.stack([load_frame(str(p), resolution) for p in paths], axis=0)
-    return cast_num_frames(frames, num_frames)
+    if horizontal_flip and np.random.default_rng().random() < 0.5:
+        # reference RandomHorizontalFlip (sthv2.py:19,45) — applied per CLIP
+        # here (the reference's per-frame transform would flip frames of one
+        # clip inconsistently; deliberate fix, knob is defaults-off anyway)
+        frames = frames[:, :, ::-1].copy()
+    return cast_num_frames(frames, num_frames) if force_num_frames else frames
 
 
 class _VideoTextDataset:
     """Base: __len__ + __getitem__ -> (video (f,h,w,3) [-1,1], prompt)."""
 
     def __init__(self, folder: str, image_size: int, num_frames: int, split: str = "train",
-                 exts: Sequence[str] = ("jpg",)):
+                 exts: Sequence[str] = ("jpg",), horizontal_flip: bool = False,
+                 force_num_frames: bool = True):
         self.folder = folder
         self.image_size = image_size
         self.num_frames = num_frames
         self.split = split
         self.exts = tuple(exts)
+        self.horizontal_flip = horizontal_flip
+        self.force_num_frames = force_num_frames
+
+    def _clip(self, paths: Sequence[str]) -> np.ndarray:
+        return _load_clip(paths, self.image_size, self.num_frames,
+                          self.horizontal_flip, self.force_num_frames)
 
     def __len__(self) -> int:
         raise NotImplementedError
@@ -62,8 +76,9 @@ class _VideoTextDataset:
 
 
 class SthV2Dataset(_VideoTextDataset):
-    def __init__(self, folder, image_size, num_frames, split="train", exts=("jpg",)):
-        super().__init__(folder, image_size, num_frames, split, exts)
+    def __init__(self, folder, image_size, num_frames, split="train", exts=("jpg",),
+                 **kwargs):
+        super().__init__(folder, image_size, num_frames, split, exts, **kwargs)
         self.raw_frames_dir = osp.join(folder, "rawframes")
         name = {"train": "train", "val": "validation", "test": "test"}[split]
         with open(osp.join(folder, "annotations", f"{name}.json")) as f:
@@ -77,13 +92,13 @@ class SthV2Dataset(_VideoTextDataset):
         label_id, prompt = entry["id"], entry["label"]
         root = Path(osp.join(self.raw_frames_dir, label_id))
         paths = sorted(p for ext in self.exts for p in root.glob(f"**/*.{ext}"))
-        return _load_clip(paths, self.image_size, self.num_frames), prompt
+        return self._clip(paths), prompt
 
 
 class BridgeDataset(_VideoTextDataset):
     def __init__(self, folder, image_size, num_frames, split="train", exts=("jpg",),
-                 annotations_file: str | None = None):
-        super().__init__(folder, image_size, num_frames, split, exts)
+                 annotations_file: str | None = None, **kwargs):
+        super().__init__(folder, image_size, num_frames, split, exts, **kwargs)
         self.raw_frames_dir = osp.join(folder, "rawframes")
         annotations_file = annotations_file or osp.join(folder, "path_id_bridgedata.txt")
         with open(annotations_file) as f:
@@ -102,13 +117,13 @@ class BridgeDataset(_VideoTextDataset):
         )
         root = Path(osp.join(self.raw_frames_dir, label_id))
         paths = sorted(p for ext in self.exts for p in root.glob(f"**/*.{ext}"))
-        return _load_clip(paths, self.image_size, self.num_frames), prompt
+        return self._clip(paths), prompt
 
 
 class EpicKitchensDataset(_VideoTextDataset):
     def __init__(self, folder, image_size, num_frames, split="train", exts=("jpg",),
-                 annotations_dir: str | None = None):
-        super().__init__(folder, image_size, num_frames, split, exts)
+                 annotations_dir: str | None = None, **kwargs):
+        super().__init__(folder, image_size, num_frames, split, exts, **kwargs)
         self.raw_frames_dir = osp.join(folder, "EPIC-KITCHENS")
         annotations_dir = annotations_dir or osp.join(folder, "epic-kitchens-100-annotations")
         name = {"train": "EPIC_100_train.csv", "val": "EPIC_100_validation.csv"}[split]
@@ -135,11 +150,11 @@ class EpicKitchensDataset(_VideoTextDataset):
             osp.join(root, f"frame_{p:010d}.{self.exts[0]}")
             for p in range(start, end + 1, stride)
         ]
-        return _load_clip(paths, self.image_size, self.num_frames), e["prompt"]
+        return self._clip(paths), e["prompt"]
 
 
 def build_dataset(name: str, folder: str, image_size: int, num_frames: int,
-                  split: str = "train") -> _VideoTextDataset:
+                  split: str = "train", **kwargs) -> _VideoTextDataset:
     """Dispatch by config key (reference ``train.py:236-249``)."""
     table = {
         "sthv2": SthV2Dataset,
@@ -150,4 +165,4 @@ def build_dataset(name: str, folder: str, image_size: int, num_frames: int,
     }
     if name not in table:
         raise ValueError(f"unknown dataset '{name}' (expected one of {sorted(table)})")
-    return table[name](folder, image_size, num_frames, split=split)
+    return table[name](folder, image_size, num_frames, split=split, **kwargs)

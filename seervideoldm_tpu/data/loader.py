@@ -52,7 +52,7 @@ class DataLoader:
         if self.shuffle:
             rng = np.random.default_rng((self.seed, self.epoch))
             rng.shuffle(idx)
-        # contiguous shard per data-parallel host
+        # strided shard per data-parallel host (every num_shards-th index)
         return idx[self.shard_index :: self.num_shards]
 
     def __len__(self) -> int:

@@ -10,11 +10,11 @@ Channels-last videos ``(b, t, h, w, 3)`` in [-1, 1].
 """
 from __future__ import annotations
 
+from typing import Sequence
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 class Unit3D(nn.Module):
@@ -135,8 +135,9 @@ def load_i3d_params(path: str, target_params) -> dict:
                     "running_mean": "bn_mean", "running_var": "bn_var"}.get(parts[-1])
             if leaf:
                 set_path(out, parts[:-2] + [leaf], value)
-    # sanity: structures must match
+    # sanity: structures AND shapes must match
     missing = []
+    bad_shape = []
 
     def check(src, dst, prefix=""):
         for k, v in src.items():
@@ -144,8 +145,12 @@ def load_i3d_params(path: str, target_params) -> dict:
                 check(v, dst.get(k, {}), prefix + k + "/")
             elif k not in dst:
                 missing.append(prefix + k)
+            elif tuple(dst[k].shape) != tuple(v.shape):
+                bad_shape.append(f"{prefix}{k}: {tuple(dst[k].shape)} != {tuple(v.shape)}")
 
     check(target_params, out)
     if missing:
         raise ValueError(f"i3d conversion missing {len(missing)} params: {missing[:5]}")
+    if bad_shape:
+        raise ValueError(f"i3d conversion shape mismatches: {bad_shape[:5]}")
     return out

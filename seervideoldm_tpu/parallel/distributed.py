@@ -32,3 +32,25 @@ def initialize_distributed() -> None:
         "MEGASCALE_COORDINATOR_ADDRESS"
     ):
         jax.distributed.initialize()
+
+
+def gather_across_hosts(x) -> "np.ndarray":
+    """Concatenate per-host batches along axis 0 across all processes.
+
+    The reference all-gathers predictions/GT across ranks before FVD
+    (``eval.py:226-231``, ``utils/compute_fvd.py:17-26``) and before
+    visualization (``utils/ddim_sampling_utils.py:60-63``); this is the JAX
+    equivalent.  Identity on single-host runs.
+    """
+    import numpy as np
+
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(np.asarray(x), tiled=True))
+
+
+def is_main_process() -> bool:
+    """True on the host that should write files (reference rank-0 gating)."""
+    return jax.process_index() == 0

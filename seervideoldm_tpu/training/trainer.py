@@ -115,10 +115,10 @@ def make_train_step(
     num_timesteps = train_schedule.num_timesteps
     unet, fstext = models.unet, models.fstext
 
-    def loss_fn(trainable, batch, noise, timesteps):
+    def loss_fn(trainable, batch, noise, timesteps, frozen):
         params = (
-            combine_params(trainable, frozen_params)
-            if frozen_params is not None else trainable
+            combine_params(trainable, frozen)
+            if frozen is not None else trainable
         )
         context = fstext.apply({"params": params["fstext"]}, batch["clip_emb"])
         loss_text = 0.0
@@ -143,7 +143,10 @@ def make_train_step(
         return loss + loss_text, {"mse": loss}
 
     @jax.jit
-    def train_step(state: TrainState, batch: dict, rng: jax.Array):
+    def train_step(state: TrainState, batch: dict, rng: jax.Array,
+                   frozen=frozen_params):
+        # frozen params ride as a jit *argument* (default-bound), not a
+        # closure constant — keeps them out of the lowered module
         k_noise, k_t = jax.random.split(jax.random.fold_in(rng, state.step))
         latents = batch["latents"]
         noise = jax.random.normal(k_noise, latents.shape, dtype=jnp.float32).astype(
@@ -151,11 +154,22 @@ def make_train_step(
         )
         timesteps = jax.random.randint(k_t, (latents.shape[0],), 0, num_timesteps)
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, noise, timesteps
+            state.params, batch, noise, timesteps, frozen
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        gnorm = optax.global_norm(grads)
+        if isinstance(state.opt_state, optax.MultiStepsState):
+            # norm of the running-mean accumulated gradient — at the sync
+            # micro-step this is exactly the vector global-norm clipping sees
+            # (optax.MultiSteps averages grads: acc·n/(n+1) + g/(n+1))
+            n = state.opt_state.mini_step
+            acc = jax.tree.map(
+                lambda a, g: a * (n / (n + 1)) + g / (n + 1),
+                state.opt_state.acc_grads, grads,
+            )
+            gnorm = optax.global_norm(acc)
+        else:
+            gnorm = optax.global_norm(grads)
         new_state = TrainState(step=state.step + 1, params=params, opt_state=opt_state)
         return new_state, {"loss": loss, "grad_norm": gnorm, **aux}
 

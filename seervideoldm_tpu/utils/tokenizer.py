@@ -42,12 +42,18 @@ def _get_pairs(word: tuple[str, ...]) -> set[tuple[str, str]]:
     return set(zip(word[:-1], word[1:]))
 
 
-_PAT = re.compile(
-    r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"""
-    if False
-    else r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+""",
-    re.IGNORECASE,
-)
+try:  # CLIP's pre-tokenizer uses Unicode letter/number classes (\p{L}/\p{N})
+    import regex as _re_unicode
+
+    _PAT = _re_unicode.compile(
+        r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""",
+        _re_unicode.IGNORECASE,
+    )
+except ImportError:  # ASCII approximation; non-Latin text tokenizes differently
+    _PAT = re.compile(
+        r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+""",
+        re.IGNORECASE,
+    )
 
 
 def _whitespace_clean(text: str) -> str:
@@ -126,7 +132,7 @@ class CLIPTokenizer:
     def encode(self, text: str) -> list[int]:
         text = _whitespace_clean(html.unescape(html.unescape(text))).lower()
         ids: list[int] = []
-        for token in re.findall(_PAT, text):
+        for token in _PAT.findall(text):
             token_bytes = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
             ids.extend(self.encoder[t] for t in self._bpe(token_bytes).split(" "))
         return ids

@@ -111,6 +111,8 @@ def main() -> None:
     dataset = build_dataset(
         cfg.dataset, cfg.dataset_path or cfg.get("data_dir"),
         cfg.resolution, cfg.num_frames, split="train",
+        horizontal_flip=bool(cfg.get("horizontal_flip", False)),
+        force_num_frames=bool(cfg.get("force_num_frames", True)),
     )
     loader = DataLoader(
         dataset, cfg.train_batch_size, shuffle=True, seed=cfg.seed,
@@ -143,9 +145,14 @@ def main() -> None:
     except Exception:
         writer = None
 
-    data_rng = jax.random.PRNGKey(cfg.seed + 1)
+    # Disjoint PRNG streams: VAE posterior sampling in prepare() and the
+    # diffusion noise target in train_step() must never share a key — with a
+    # shared stream the ε target equals the posterior noise embedded in the
+    # input latents, leaking the regression target into the model input.
+    prep_rng, step_rng = jax.random.split(jax.random.PRNGKey(cfg.seed + 1))
     step_time = time.time()
     pending_losses: list = []
+    window_losses: list = []  # per-micro-step losses in the current accum window
     accum = max(1, cfg.gradient_accumulation_steps)
     micro_step = global_step * accum
     for epoch in range(start_epoch, cfg.num_train_epochs):
@@ -155,18 +162,26 @@ def main() -> None:
             videos = jax.device_put(
                 jnp.asarray(videos), batch_sharding(mesh, videos.ndim)
             )
-            k_prep = jax.random.fold_in(data_rng, micro_step)
+            k_prep = jax.random.fold_in(prep_rng, micro_step)
             batch = prepare(
                 videos, jnp.asarray(tok["input_ids"]),
                 jnp.asarray(tok["attention_mask"]), k_prep, cond_frames=cfg.cond_frames,
             )
-            state, metrics = train_step(state, batch, data_rng)
+            state, metrics = train_step(state, batch, step_rng)
             micro_step += 1
+            window_losses.append(metrics["loss"])
             if micro_step % accum != 0:
                 continue
             # global_step counts optimizer (sync) steps, reference parity
             global_step += 1
-            pending_losses.append((global_step, metrics["loss"]))
+            # mean loss over the whole accumulation window (all micro steps),
+            # not just the sync micro-step's loss
+            window_mean = (
+                window_losses[0] if len(window_losses) == 1
+                else jnp.mean(jnp.stack(window_losses))
+            )
+            window_losses = []
+            pending_losses.append((global_step, window_mean))
             if len(pending_losses) >= 10 or global_step % cfg.save_steps == 0:
                 # fetch device scalars in one batch (no per-step host sync)
                 for gs, dev_loss in pending_losses:
