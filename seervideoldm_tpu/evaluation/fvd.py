@@ -29,8 +29,11 @@ def preprocess_videos(videos: np.ndarray, resolution: int = 224) -> np.ndarray:
         target = (resolution, math.ceil(w * scale))
     else:
         target = (math.ceil(h * scale), resolution)
+    # antialias=False: torch F.interpolate(bilinear, align_corners=False)
+    # does NOT antialias on downscale; jax.image.resize does by default —
+    # with it on, FVD preprocessing diverges from the VideoGPT protocol
     out = jax.image.resize(
-        jnp.asarray(videos), (b, t, *target, c), method="linear"
+        jnp.asarray(videos), (b, t, *target, c), method="linear", antialias=False
     )
     th, tw = target
     h0 = (th - resolution) // 2

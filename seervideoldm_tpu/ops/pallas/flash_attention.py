@@ -13,8 +13,11 @@ Causal blocks above the diagonal are skipped entirely (not just masked).
 
 The public wrapper pads seq and head_dim to hardware tiles, dispatches the
 grid over (batch·heads, q-blocks, kv-blocks), and exposes a ``custom_vjp``
-whose backward recomputes attention with einsum under XLA — exact gradients;
-a fused backward kernel is a later optimization.
+with a **fused Pallas backward**: one program per batch·head row keeps K/V
+resident in VMEM and walks q blocks, recomputing the softmax from (q, k)
+per block — neither forward nor backward ever materializes seq² logits in
+HBM, and no extra residuals (O/logsumexp) are saved.  Sequences beyond the
+single-shot regime fall back to an einsum recompute under XLA.
 """
 from __future__ import annotations
 
@@ -231,11 +234,128 @@ def flash_attention(q, k, v, scale: float, causal: bool = False):
     return out.reshape(lead + out.shape[-2:])
 
 
+def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
+                dk_scr, dv_scr, *, scale: float, causal: bool,
+                q_len: int, kv_len: int, bq: int, num_q: int):
+    """One program per (batch·head) row: K/V resident, loop over q blocks.
+
+    Per block the softmax is *recomputed* from (q, k) — all of K is here so
+    the row max/denominator are exact without a saved logsumexp.  ``delta``
+    uses the identity rowsum(p·dp) = rowsum(g·o), so O isn't needed either.
+    Zero-padded g rows contribute nothing to dk/dv (contraction over rows),
+    and padded kv columns carry zero v/g so their ds is zero — padding is
+    self-masking except for the logits column mask, applied explicitly.
+    """
+    k = k_ref[0]  # (kv_pad, d)
+    v = v_ref[0]
+    kv_pad = k.shape[0]
+
+    dk_scr[:] = jnp.zeros_like(dk_scr)
+    dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    def body(i, _):
+        q = q_ref[0, pl.ds(i * bq, bq), :]  # (bq, d)
+        g = g_ref[0, pl.ds(i * bq, bq), :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (bq, kv_pad) fp32
+        cols = jax.lax.broadcasted_iota(jnp.int32, (bq, kv_pad), 1)
+        mask = cols < kv_len
+        if causal:
+            rows = i * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, kv_pad), 0)
+            mask = jnp.logical_and(mask, cols <= rows)
+        s = jnp.where(mask, s, NEG_INF)
+        p = jax.nn.softmax(s, axis=-1)  # (bq, kv_pad) fp32
+
+        g32 = g.astype(jnp.float32)
+        dv_scr[:] += jax.lax.dot_general(
+            p, g32, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # p^T g -> (kv_pad, d)
+        dp = jax.lax.dot_general(
+            g32, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (bq, kv_pad)
+        delta = jnp.sum(p * dp, axis=-1, keepdims=True)  # (bq, 1)
+        ds = p * (dp - delta) * scale  # (bq, kv_pad) fp32
+        dq_ref[0, pl.ds(i * bq, bq), :] = jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dq_ref.dtype)
+        dk_scr[:] += jax.lax.dot_general(
+            ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # ds^T q -> (kv_pad, d)
+        return 0
+
+    jax.lax.fori_loop(0, num_q, body, 0)
+    dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+    dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+# fp32 (bq, kv_pad) temporaries (s/p/dp/ds) dominate backward VMEM; keep
+# their combined footprint under ~6 MB of the ~16 MB/core budget
+_BWD_TEMPS_BYTES = 6 * 1024 * 1024
+
+
+def _flash_backward(q, k, v, g, scale: float, causal: bool):
+    """Fused backward for the single-shot regime. q/g: (B, Sq, D)."""
+    batch, q_len, d = q.shape
+    kv_len = k.shape[1]
+    kv_pad = int(np.ceil(kv_len / 128)) * 128
+    bq = max(64, min(1024, (_BWD_TEMPS_BYTES // (4 * 4 * kv_pad)) // 64 * 64))
+    q_pad = int(np.ceil(q_len / bq)) * bq
+    num_q = q_pad // bq
+    qp = jnp.pad(q, ((0, 0), (0, q_pad - q_len), (0, 0)))
+    gp = jnp.pad(g, ((0, 0), (0, q_pad - q_len), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, kv_pad - kv_len), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, kv_pad - kv_len), (0, 0)))
+    q_spec = pl.BlockSpec((1, q_pad, d), lambda b: (b, 0, 0))
+    kv_spec = pl.BlockSpec((1, kv_pad, d), lambda b: (b, 0, 0))
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(
+            _bwd_kernel, scale=scale, causal=causal,
+            q_len=q_len, kv_len=kv_len, bq=bq, num_q=num_q,
+        ),
+        grid=(batch,),
+        in_specs=[q_spec, kv_spec, kv_spec, q_spec],
+        out_specs=[q_spec, kv_spec, kv_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((batch, q_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((batch, kv_pad, d), k.dtype),
+            jax.ShapeDtypeStruct((batch, kv_pad, d), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((kv_pad, d), jnp.float32) if _HAS_PLTPU else None,
+            pltpu.VMEM((kv_pad, d), jnp.float32) if _HAS_PLTPU else None,
+        ],
+        compiler_params=None if _INTERPRET else pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=_INTERPRET,
+    )(qp, kp, vp, gp)
+    return dq[:, :q_len], dk[:, :kv_len], dv[:, :kv_len]
+
+
 def _fwd(q, k, v, scale, causal):
     return flash_attention(q, k, v, scale, causal), (q, k, v)
 
 
 def _bwd(scale, causal, residuals, g):
+    q, k, v = residuals
+    kv_len = k.shape[-2]
+    if kv_len <= _SINGLE_SHOT_MAX_KV and flash_attention_available():
+        lead = q.shape[:-2]
+        qf = q.reshape((-1,) + q.shape[-2:])
+        kf = k.reshape((-1,) + k.shape[-2:])
+        vf = v.reshape((-1,) + v.shape[-2:])
+        gf = g.reshape((-1,) + g.shape[-2:])
+        dq, dk, dv = _flash_backward(qf, kf, vf, gf, scale, causal)
+        return (dq.reshape(lead + dq.shape[-2:]),
+                dk.reshape(lead + dk.shape[-2:]),
+                dv.reshape(lead + dv.shape[-2:]))
+    return _bwd_einsum(scale, causal, residuals, g)
+
+
+def _bwd_einsum(scale, causal, residuals, g):
     """Exact backward by recomputation with einsum (XLA fuses well here)."""
     q, k, v = residuals
     logits = jnp.einsum("...nd,...md->...nm", q, k,

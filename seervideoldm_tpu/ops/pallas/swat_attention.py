@@ -16,9 +16,11 @@ five separate passes (``seer/models/attention.py:632-703``):
    matmuls.
 
 Tokens per window = f·ws² (≤ ~1k at reference scales) so a window's scores
-fit VMEM — no streaming needed.  Backward: ``custom_vjp`` recomputing with
-the unfused XLA path (exact same math; fused backward is a later
-optimization).
+fit VMEM — no streaming needed.  Backward: a **fused Pallas kernel** that
+recomputes rotary + softmax per window and produces dq/dk/dv with the
+rotary adjoint applied in-kernel (RHᵀ = −RH and sin/cos are pair-constant,
+so de-rotation is ``t·cos − rotate_half(t)·sin``); window gradients never
+leave VMEM.  Falls back to XLA recompute off-TPU.
 """
 from __future__ import annotations
 
@@ -171,6 +173,114 @@ def _swat_forward(q, k, v, scale: float, causal: bool, ws: int, rot_dim: int,
     return out
 
 
+def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *,
+                scale: float, causal: bool, f: int, ws: int, h: int, w: int,
+                rot_dim: int, d_pad: int, sw: int, theta: float):
+    """Block = (1, f, ws, sw, d): a ``sw``-wide slice of one window row;
+    grid (batch, h//ws, w//sw).  Per window: re-rotate q/k, recompute the
+    softmax (tokens ≤ f·ws² fit VMEM), form ds, then de-rotate dq/dk with
+    the rotary adjoint.  All window gradients are local to the block — no
+    cross-program accumulation."""
+    wi = pl.program_id(1)
+    ci = pl.program_id(2)
+    tokens = f * ws * ws
+    wins = sw // ws
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tokens, d_pad), 1)
+    pair = (lane // 2).astype(jnp.float32)
+    inv_freq = jnp.exp(pair * (-2.0 * math.log(theta) / rot_dim))
+    in_rot = lane < rot_dim
+
+    tok = jax.lax.broadcasted_iota(jnp.int32, (tokens, d_pad), 0)
+    frame = tok // (ws * ws)
+    rem = tok % (ws * ws)
+    row_in_win = rem // ws
+    col_in_win = rem % ws
+
+    rows_t = jax.lax.broadcasted_iota(jnp.int32, (tokens, tokens), 0)
+    cols_t = jax.lax.broadcasted_iota(jnp.int32, (tokens, tokens), 1)
+    tril = cols_t <= rows_t
+
+    dqs, dks, dvs = [], [], []
+    for sub in range(wins):
+        j_col = ci * sw + sub * ws
+        pos = (frame * (h * w) + (wi * ws + row_in_win) * w
+               + (j_col + col_in_win)).astype(jnp.float32)
+        phase = pos * inv_freq
+        cos = jnp.cos(phase)
+        sin = jnp.sin(phase)
+
+        def rotate(t):
+            t32 = t.astype(jnp.float32)
+            return jnp.where(in_rot, t32 * cos + _rotate_half_roll(t32) * sin, t32)
+
+        def derotate(t32):
+            return jnp.where(in_rot, t32 * cos - _rotate_half_roll(t32) * sin, t32)
+
+        def window(ref):
+            return ref[0, :, :, pl.ds(sub * ws, ws), :].reshape(tokens, d_pad)
+
+        qr = rotate(window(q_ref))  # fp32 (tokens, d)
+        kr = rotate(window(k_ref))
+        v32 = window(v_ref).astype(jnp.float32)
+        g32 = window(g_ref).astype(jnp.float32)
+
+        s = jax.lax.dot_general(
+            qr, kr, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        if causal:
+            s = jnp.where(tril, s, NEG_INF)
+        p = jax.nn.softmax(s, axis=-1)
+
+        dv = jax.lax.dot_general(
+            p, g32, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp = jax.lax.dot_general(
+            g32, v32, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+        ds = p * (dp - delta) * scale
+        dq = derotate(jax.lax.dot_general(
+            ds, kr, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ))
+        dk = derotate(jax.lax.dot_general(
+            ds, qr, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ))
+        shape5 = (f, ws, ws, d_pad)
+        dqs.append(dq.reshape(shape5))
+        dks.append(dk.reshape(shape5))
+        dvs.append(dv.reshape(shape5))
+
+    cat = lambda xs: (jnp.concatenate(xs, axis=2) if len(xs) > 1 else xs[0])  # noqa: E731
+    dq_ref[0] = cat(dqs).astype(dq_ref.dtype)
+    dk_ref[0] = cat(dks).astype(dk_ref.dtype)
+    dv_ref[0] = cat(dvs).astype(dv_ref.dtype)
+
+
+def _swat_backward(q, k, v, g, scale: float, causal: bool, ws: int,
+                   rot_dim: int, theta: float = 10000.0):
+    """Fused SWAT backward. q/k/v/g: (B, f, h, w, d) -> (dq, dk, dv)."""
+    batch, f, h, w, d = q.shape
+    sw = min(16, w)  # narrow strips keep 7 live blocks inside VMEM
+    grid = (batch, h // ws, w // sw)
+    spec = pl.BlockSpec((1, f, ws, sw, d), lambda b, i, c: (b, 0, i, c, 0))
+    return pl.pallas_call(
+        functools.partial(
+            _bwd_kernel, scale=scale, causal=causal, f=f, ws=ws, h=h, w=w,
+            rot_dim=rot_dim, d_pad=d, sw=sw, theta=theta,
+        ),
+        grid=grid,
+        in_specs=[spec, spec, spec, spec],
+        out_specs=[spec, spec, spec],
+        out_shape=[jax.ShapeDtypeStruct((batch, f, h, w, d), t.dtype)
+                   for t in (q, k, v)],
+        compiler_params=None if _INTERPRET else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        interpret=_INTERPRET,
+    )(q, k, v, g)
+
+
 def _unfused_reference(q, k, v, scale, causal, ws, rot_dim):
     """The XLA path with identical semantics (used for backward + testing)."""
     batch, f, h, w, d = q.shape
@@ -206,6 +316,8 @@ def _fwd(q, k, v, scale, causal, ws, rot_dim):
 
 def _bwd(scale, causal, ws, rot_dim, residuals, g):
     q, k, v = residuals
+    if swat_attention_available():
+        return _swat_backward(q, k, v, g, scale, causal, ws, rot_dim)
 
     def f(q, k, v):
         return _unfused_reference(q, k, v, scale, causal, ws, rot_dim)

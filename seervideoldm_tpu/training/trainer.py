@@ -143,10 +143,7 @@ def make_train_step(
         return loss + loss_text, {"mse": loss}
 
     @jax.jit
-    def train_step(state: TrainState, batch: dict, rng: jax.Array,
-                   frozen=frozen_params):
-        # frozen params ride as a jit *argument* (default-bound), not a
-        # closure constant — keeps them out of the lowered module
+    def _train_step(state: TrainState, batch: dict, rng: jax.Array, frozen):
         k_noise, k_t = jax.random.split(jax.random.fold_in(rng, state.step))
         latents = batch["latents"]
         noise = jax.random.normal(k_noise, latents.shape, dtype=jnp.float32).astype(
@@ -173,4 +170,14 @@ def make_train_step(
         new_state = TrainState(step=state.step + 1, params=params, opt_state=opt_state)
         return new_state, {"loss": loss, "grad_norm": gnorm, **aux}
 
+    def train_step(state: TrainState, batch: dict, rng: jax.Array,
+                   frozen=frozen_params):
+        # frozen params MUST reach the jitted function as a runtime
+        # *argument*: a Python default binds inside the trace, turning every
+        # frozen weight into an embedded module constant — at flagship scale
+        # that pulls ~GBs device->host at trace time and bloats the module
+        # until the compile never finishes (the round-1 blocker).
+        return _train_step(state, batch, rng, frozen)
+
+    train_step.jitted = _train_step  # for lower()/compile probes
     return train_step

@@ -22,3 +22,19 @@ def enable_compilation_cache(cache_dir: str | None = None) -> None:
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
         pass
+
+
+def set_compile_effort(effort: str) -> None:
+    """Trade XLA optimization time for compile time.
+
+    ``fast`` drops the exec-time optimization effort to its minimum — the
+    flagship train-step backward is a huge graph whose cold compile
+    otherwise exceeds the remote-compile tunnel's lifetime (STATUS.md
+    round-1 blocker); measured step-time impact is small and the persistent
+    cache makes later runs free either way.  ``default`` leaves XLA alone.
+    """
+    if effort == "default":
+        return
+    if effort != "fast":
+        raise ValueError(f"compile_effort must be 'fast' or 'default', got {effort!r}")
+    jax.config.update("jax_exec_time_optimization_effort", -1.0)

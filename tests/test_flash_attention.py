@@ -66,3 +66,41 @@ def test_flash_gradients_match_einsum():
     g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3)
+
+
+@pytest.mark.parametrize("q_len,kv_len,causal", [(256, 77, False), (640, 640, True)])
+def test_fused_backward_kernel(q_len, kv_len, causal):
+    """Grad parity of the Pallas backward kernel vs einsum recompute."""
+    rng = np.random.RandomState(3)
+    q = jnp.asarray(rng.randn(1, 2, q_len, 40).astype(np.float32))
+    k = jnp.asarray(rng.randn(1, 2, kv_len, 40).astype(np.float32))
+    v = jnp.asarray(rng.randn(1, 2, kv_len, 40).astype(np.float32))
+    g = jnp.asarray(rng.randn(1, 2, q_len, 40).astype(np.float32))
+    scale = 40**-0.5
+
+    got = fa._bwd(scale, causal, (q, k, v), g)
+    want = fa._bwd_einsum(scale, causal, (q, k, v), g)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3)
+
+
+def test_backward_long_seq_falls_back_to_einsum(monkeypatch):
+    """Beyond the single-shot regime the einsum recompute path is used."""
+    monkeypatch.setattr(fa, "_SINGLE_SHOT_MAX_KV", 64)
+    rng = np.random.RandomState(4)
+    q = jnp.asarray(rng.randn(1, 1, 128, 32).astype(np.float32))
+
+    def loss(q, k, v):
+        return jnp.sum(fa.flash_attention(q, k, v, 32**-0.5, True) ** 2)
+
+    g1 = jax.grad(loss, argnums=(0, 1, 2))(q, q, q)
+    from seervideoldm_tpu.ops.attention import causal_mask, dot_product_attention
+
+    def loss_ref(q, k, v):
+        return jnp.sum(
+            dot_product_attention(q, k, v, 32**-0.5, mask=causal_mask(128, 128)) ** 2
+        )
+
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, q, q)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3)

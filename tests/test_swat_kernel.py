@@ -54,3 +54,25 @@ def test_swat_gradients_match_unfused():
     g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+@pytest.mark.parametrize("f,h,w,d,ws", [(3, 8, 8, 40, 4), (2, 8, 16, 64, 8),
+                                        (2, 8, 32, 40, 8)])
+def test_swat_fused_backward_kernel(f, h, w, d, ws):
+    """Pallas backward kernel (in-kernel rotary adjoint) vs XLA vjp."""
+    rng = np.random.RandomState(3)
+    q = jnp.asarray(rng.randn(2, f, h, w, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(2, f, h, w, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(2, f, h, w, d).astype(np.float32))
+    g = jnp.asarray(rng.randn(2, f, h, w, d).astype(np.float32))
+    scale, rot = d**-0.5, min(32, d)
+    got = swat._swat_backward(q, k, v, g, scale, True, ws, rot)
+
+    def fn(q, k, v):
+        return swat._unfused_reference(q, k, v, scale, True, ws, rot)
+
+    _, vjp = jax.vjp(fn, q, k, v)
+    want = vjp(g)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=1e-3)

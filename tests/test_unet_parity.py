@@ -74,3 +74,40 @@ def test_unet_parity_larger_spatial(models_and_params):
             torch.from_numpy(ctx), cond_frame=0,
         ).permute(0, 2, 3, 4, 1).numpy()
     np.testing.assert_allclose(got, want, atol=5e-4)
+
+
+@pytest.mark.slow
+def test_unet_parity_full_width():
+    """Real SD-1.5 geometry where the binding constants actually bite:
+    320/640 channels, heads 8 (d_head 40/80), rot_dim 32, 77x768 CLIP
+    context, 32x32 latents (ws=8 SWAT windows), fp32 GN islands
+    (VERDICT round-1: parity was only ever tested at toy widths)."""
+    torch.manual_seed(3)
+    oracle = TinySeerUNet(boc=(320, 640), layers=1, groups=32, ctx_dim=768,
+                          heads=8).eval()
+    cfg = SeerUNetConfig(block_out_channels=(320, 640), layers_per_block=1,
+                         norm_num_groups=32, cross_attention_dim=768,
+                         attention_head_dim=8)
+    unet = SeerUNet(config=cfg)
+    b, f, h, w = 1, 3, 32, 32
+    sample = jnp.zeros((b, f, h, w, 4))
+    ctx = jnp.zeros((b, f, 77, 768))
+    params = unet.init(jax.random.PRNGKey(0), sample, jnp.array([1]), ctx, 0)["params"]
+    sd = {k: v.detach().numpy() for k, v in oracle.state_dict().items()}
+    params, fresh = convert_seer_unet(sd, params, strict=True)
+    assert not fresh, f"unconverted params: {fresh[:8]}"
+
+    rng = np.random.RandomState(4)
+    x = rng.randn(b, f, h, w, 4).astype(np.float32)
+    ctx = rng.randn(b, f, 77, 768).astype(np.float32) * 0.1
+    ts = np.array([500], dtype=np.int64)
+    got = np.asarray(unet.apply(
+        {"params": params}, jnp.asarray(x), jnp.asarray(ts.astype(np.int32)),
+        jnp.asarray(ctx), 2,
+    ))
+    with torch.no_grad():
+        want = oracle(
+            torch.from_numpy(x).permute(0, 4, 1, 2, 3), torch.from_numpy(ts),
+            torch.from_numpy(ctx), cond_frame=2,
+        ).permute(0, 2, 3, 4, 1).numpy()
+    np.testing.assert_allclose(got, want, atol=2e-3)

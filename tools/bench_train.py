@@ -30,7 +30,14 @@ def main():
     parser.add_argument("--batch", type=int, default=1)
     parser.add_argument("--remat", action="store_true", default=True)
     parser.add_argument("--iters", type=int, default=3)
+    parser.add_argument("--compile_effort", default="fast",
+                        help="fast|default (fast keeps the cold backward "
+                             "compile inside the remote tunnel's lifetime)")
     args = parser.parse_args()
+
+    from seervideoldm_tpu.utils.cache import set_compile_effort
+
+    set_compile_effort(args.compile_effort)
 
     from seervideoldm_tpu.models.fstext import FSTextTransformer
     from seervideoldm_tpu.models.unet3d import SeerUNet
@@ -74,8 +81,10 @@ def main():
         "latents": jax.random.normal(rng, (b, f2, latent, latent, 4), dtype),
         "clip_emb": jax.random.normal(rng, (b, 77, 768), dtype),
     }
+    t0 = time.perf_counter()
     state, metrics = train_step(state, batch, jax.random.PRNGKey(1))
     float(metrics["loss"])  # sync
+    compile_s = time.perf_counter() - t0
 
     times = []
     for _ in range(args.iters):
@@ -85,12 +94,19 @@ def main():
         times.append(time.perf_counter() - t0)
 
     dt = float(np.median(times))
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        hbm_gb = round(stats.get("peak_bytes_in_use", 0) / 2**30, 2)
+    except Exception:
+        hbm_gb = None
     print(json.dumps({
         "metric": "train_step_ms",
         "value": round(dt * 1000, 1),
         "unit": "ms/step",
         "detail": {"resolution": args.resolution, "batch": b, "frames": f,
-                   "remat": args.remat, "loss": float(metrics["loss"])},
+                   "remat": args.remat, "loss": float(metrics["loss"]),
+                   "compile_or_warmup_s": round(compile_s, 1),
+                   "peak_hbm_gb": hbm_gb},
     }))
 
 

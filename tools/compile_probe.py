@@ -132,8 +132,8 @@ def main():
     else:
         train_step = make_train_step(models, tx, cond_frames=f1,
                                      frozen_params=frozen)
-        fn, fargs = train_step, (state_shapes, batch,
-                                 jax.ShapeDtypeStruct((2,), jnp.uint32), frozen)
+        fn, fargs = train_step.jitted, (state_shapes, batch,
+                                        jax.ShapeDtypeStruct((2,), jnp.uint32), frozen)
 
     t0 = time.perf_counter()
     lowered = fn.lower(*fargs)

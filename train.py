@@ -61,11 +61,13 @@ def plot_graphs(losses: RunningAverageMeter, lrs: RunningAverageMeter,
 
 
 def main() -> None:
-    from seervideoldm_tpu.utils.cache import enable_compilation_cache
+    from seervideoldm_tpu.utils.cache import enable_compilation_cache, set_compile_effort
 
     enable_compilation_cache()
     initialize_distributed()
     cfg = parse_args("Seer TPU fine-tuning")
+    # training backward graphs are the compile-time hot spot; default fast
+    set_compile_effort(str(cfg.get("compile_effort", "fast")))
     os.makedirs(cfg.output_dir, exist_ok=True)
     rng = jax.random.PRNGKey(cfg.seed)
 
