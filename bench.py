@@ -85,6 +85,32 @@ def main() -> None:
     out = fn(unet_params, fstext_params, x_T, x0_emb, clip_emb)
     np.asarray(out)
 
+    # analytic FLOPs for an MFU estimate: XLA's cost model counts a scan
+    # body ONCE, so lower a single CFG-doubled UNet forward and scale by
+    # the DDIM step count (the FSText/DDIM-update tail is negligible)
+    total_flops = None
+    try:
+        def one_unet_step(unet_params, x, ctx):
+            return unet.apply({"params": unet_params}, x,
+                              jnp.zeros((2 * b,), jnp.int32), ctx, 0)
+
+        x_probe = jnp.zeros((2 * b, f, latent, latent, 4), dtype)
+        ctx_probe = jnp.zeros((2 * b, f, 77, 768), dtype)
+        lowered = jax.jit(one_unet_step).lower(unet_params, x_probe, ctx_probe)
+        try:
+            cost = lowered.cost_analysis()  # pre-optimization, no compile
+        except Exception:
+            cost = lowered.compile().cost_analysis()
+        if cost:
+            step_flops = float(cost.get("flops", 0.0))
+            total_flops = step_flops * args.ddim_steps or None
+    except Exception:
+        pass
+    peak_flops = {"TPU v5 lite": 197e12, "TPU v5": 459e12,
+                  "TPU v4": 275e12, "TPU v6 lite": 918e12}
+    kind = jax.devices()[0].device_kind
+    peak = next((v for k, v in peak_flops.items() if kind.startswith(k)), None)
+
     times = []
     for i in range(args.iters):
         x_T_i = jax.random.normal(jax.random.PRNGKey(i + 1), x_T.shape, dtype)
@@ -124,6 +150,10 @@ def main() -> None:
             "ddim_steps": args.ddim_steps, "clip_latency_s": round(dt, 4),
             "chips": n_chips,
             "device_to_host_copy_s": round(copy_s, 4),
+            "est_mfu": (round(total_flops / dt / peak, 4)
+                        if total_flops and peak else None),
+            "total_tflops": (round(total_flops / 1e12, 1)
+                             if total_flops else None),
         },
     }))
 

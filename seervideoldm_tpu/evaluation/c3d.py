@@ -48,6 +48,15 @@ class C3D(nn.Module):
         # pre: BGR swap * 128, resize to 112, + (128 - mean)
         x = x[..., ::-1] * 128.0
         b, t, h, w, c = x.shape
+        if t != 16:
+            # reference contract: the chainer mean image is hard-shaped to 16
+            # frames (c3d.py:69 Bias(shape=(3,16,112,112))) — 12-frame IS
+            # crashes there too; IS is only defined for 16-frame recipes
+            raise ValueError(
+                f"C3D inception score requires 16-frame clips, got {t} "
+                "(reference chainer C3D mean-image is 16-frame; run IS on "
+                "16-frame recipes like bridge/epickitchens)"
+            )
         x = jax.image.resize(x, (b, t, 112, 112, c), method="linear")
         mean_bias = self.param(
             "mean_bias", nn.initializers.zeros, (16, 112, 112, 3), jnp.float32

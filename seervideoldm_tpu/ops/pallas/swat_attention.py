@@ -109,32 +109,37 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool,
             pos = (frame * (h * w) + (wi * ws + row_in_win) * w
                    + (j_col + col_in_win)).astype(jnp.float32)
             phase = pos * inv_freq
-            cos = jnp.cos(phase)
-            sin = jnp.sin(phase)
+            # pass-through lanes (>= rot_dim) folded into the tables:
+            # cos=1, sin=0 there, so `t*cos + rh(t)*sin` applies everywhere
+            # without a separate select pass per rotate
+            cos = jnp.where(in_rot, jnp.cos(phase), 1.0)
+            sin = jnp.where(in_rot, jnp.sin(phase), 0.0)
 
             def rotate(t):
                 t32 = t.astype(jnp.float32)
-                rotated = t32 * cos + _rotate_half_roll(t32) * sin
-                return jnp.where(in_rot, rotated, t32).astype(t.dtype)
+                return t32 * cos + _rotate_half_roll(t32) * sin
 
             def window(chunk):
                 return chunk[:, :, sub * ws : (sub + 1) * ws, :].reshape(
                     tokens, d_pad
                 )
 
-            q = rotate(window(chunk_q))
-            k = rotate(window(chunk_k))
+            q = rotate(window(chunk_q)).astype(chunk_q.dtype)
+            k = rotate(window(chunk_k)).astype(chunk_k.dtype)
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * scale
             if causal:
                 s = jnp.where(tril, s, NEG_INF)
-            p = jax.nn.softmax(s, axis=-1)
+            # unnormalized exp; normalize AFTER p@v on (tokens, d) lanes
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            l = jnp.sum(e, axis=-1, keepdims=True)
             out = jax.lax.dot_general(
-                p.astype(chunk_v.dtype), window(chunk_v), (((1,), (0,)), ((), ())),
+                e.astype(chunk_v.dtype), window(chunk_v), (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )
+            ) / l
             outs.append(out.reshape(f, ws, ws, d_pad))
         merged = jnp.concatenate(outs, axis=2) if len(outs) > 1 else outs[0]
         o_ref[0, :, :, pl.ds(c * sw, sw), :] = merged.astype(o_ref.dtype)

@@ -19,7 +19,12 @@ def initialize_distributed() -> None:
     Honors ``JAX_COORDINATOR_ADDRESS``/``JAX_NUM_PROCESSES``/
     ``JAX_PROCESS_ID`` or the TPU pod metadata JAX discovers natively.
     """
-    if jax.process_count() > 1:
+    # Do NOT probe jax.process_count() here: it initializes the XLA backend,
+    # after which jax.distributed.initialize() refuses to run — it must be
+    # the first JAX call on a multi-host launch.
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
         return  # already initialized
     coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
     if coord:

@@ -144,3 +144,34 @@ def test_eval_script_fvd_end_to_end(tmp_path):
         yaml.dump(cfg, f)
     proc = _run("eval.py", cfg_path)
     assert "FVD" in proc.stdout
+
+
+@pytest.mark.slow
+def test_eval_script_small_valset_flush(tmp_path):
+    """Val set SMALLER than MAX_FVD_BATCH: the final-batch flush must still
+    produce a finite FVD, and compute_is must run alongside compute_fvd
+    (reference eval.py:236-247 uses independent ifs, not elif)."""
+    data_dir = str(tmp_path / "data")
+    out_dir = str(tmp_path / "out")
+    _make_sthv2(data_dir, n_clips=4)
+    cfg = {
+        "output_dir": out_dir, "data_dir": data_dir, "dataset": "sthv2",
+        # 16 frames: the C3D inception score is only defined for 16-frame
+        # clips (reference chainer mean image shape)
+        "resolution": 16, "cond_frames": 1, "num_frames": 16,
+        "val_batch_size": 2, "ddim_steps": 2, "scale": 7.5,
+        "compute_fvd": True, "MAX_FVD_BATCH": 32,  # never filled by 4 clips
+        "compute_is": True, "MAX_IS_BATCH": 100,
+        "num_workers": 2, "mixed_precision": "no", "seed": 0,
+        "saved_global_step": 0, "model_overrides": TINY_OVERRIDES,
+    }
+    cfg_path = str(tmp_path / "eval.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.dump(cfg, f)
+    proc = _run("eval.py", cfg_path)
+    import re
+
+    m = re.search(r"Final FVD ([^,]+),", proc.stdout)
+    assert m, proc.stdout
+    assert np.isfinite(float(m.group(1))), f"FVD not finite: {m.group(1)}"
+    assert "Final IS" in proc.stdout, proc.stdout
