@@ -80,8 +80,10 @@ def main() -> None:
             c3d_params = load_c3d_params(cfg.c3d_ckpt, mean_path, c3d_params)
         else:
             print("WARNING: no c3d_ckpt given — IS uses random C3D weights")
-        c3d_apply = jax.jit(lambda v: c3d.apply({"params": c3d_params}, v))
-        c3d_classify = lambda v: c3d_apply(jnp.asarray(v))  # noqa: E731
+        # params as a runtime argument, NOT a closure constant (a captured
+        # tree gets embedded into the lowered module — ~300 MB for C3D)
+        c3d_apply = jax.jit(lambda p, v: c3d.apply({"params": p}, v))
+        c3d_classify = lambda v: c3d_apply(c3d_params, jnp.asarray(v))  # noqa: E731
 
     dataset = build_dataset(
         cfg.dataset, cfg.dataset_path or cfg.get("data_dir"),

@@ -42,9 +42,15 @@ class DataLoader:
         self.shard_index = shard_index
         self.num_shards = num_shards
         self.epoch = 0
+        self._skip = 0
 
-    def set_epoch(self, epoch: int) -> None:
+    def set_epoch(self, epoch: int, skip_batches: int = 0) -> None:
+        """Position the loader at ``epoch``, optionally skipping the first
+        ``skip_batches`` batches — mid-epoch checkpoint resume continues the
+        exact data order of an uninterrupted run (index skipping only; no
+        decode work is done for skipped batches)."""
         self.epoch = epoch
+        self._skip = skip_batches
 
     def _indices(self) -> np.ndarray:
         n = len(self.dataset)
@@ -62,12 +68,14 @@ class DataLoader:
     def __iter__(self) -> Iterator[tuple[np.ndarray, list[str]]]:
         indices = self._indices()
         nb = len(self)
+        first = min(self._skip, nb)
+        self._skip = 0  # consumed; later epochs start from batch 0
         out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
         def produce():
             with ThreadPoolExecutor(self.num_workers) as pool:
-                for b in range(nb):
+                for b in range(first, nb):
                     if stop.is_set():
                         return
                     batch_idx = indices[b * self.batch_size : (b + 1) * self.batch_size]

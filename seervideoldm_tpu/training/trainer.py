@@ -76,10 +76,10 @@ def prepare_batch_fn(models) -> Callable:
     (cond frames), ``latents`` (future frames), ``clip_emb``.
     """
     clip, vae = models.clip, models.vae
-    clip_params, vae_params = models.clip_params, models.vae_params
 
     @functools.partial(jax.jit, static_argnames=("cond_frames",))
-    def prepare(video, input_ids, attention_mask, rng, cond_frames: int):
+    def _prepare(video, input_ids, attention_mask, rng, clip_params,
+                 vae_params, cond_frames: int):
         b, f, h, w, c = video.shape
         clip_emb = clip.apply({"params": clip_params}, input_ids, attention_mask)
         k0, k1 = jax.random.split(rng)
@@ -91,6 +91,14 @@ def prepare_batch_fn(models) -> Callable:
             "latents": z[:, cond_frames:],
             "clip_emb": clip_emb,
         }
+
+    def prepare(video, input_ids, attention_mask, rng, cond_frames: int):
+        # frozen VAE/CLIP weights must be runtime ARGUMENTS — captured as
+        # closure constants they get embedded into the lowered module
+        # (~800 MB fp32), which the remote-compile tunnel rejects outright
+        # (HTTP 413) and which would bloat any compile anywhere
+        return _prepare(video, input_ids, attention_mask, rng,
+                        models.clip_params, models.vae_params, cond_frames)
 
     return prepare
 
@@ -142,8 +150,11 @@ def make_train_step(
         loss = jnp.mean((pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2)
         return loss + loss_text, {"mse": loss}
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def _train_step(state: TrainState, batch: dict, rng: jax.Array, frozen):
+        # state is DONATED: without it the step transiently holds old+new
+        # trainable params AND both Adam moment sets (~2x5.4 GB at flagship
+        # scale) — with VAE/CLIP resident that OOMs the 16 GB chip
         k_noise, k_t = jax.random.split(jax.random.fold_in(rng, state.step))
         latents = batch["latents"]
         noise = jax.random.normal(k_noise, latents.shape, dtype=jnp.float32).astype(

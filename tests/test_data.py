@@ -103,3 +103,28 @@ def test_clip_tokenizer_bpe(tmp_path):
     assert ids[1] == vocab["hello</w>"]
     assert ids[2] == tok.eos_id
     assert out["attention_mask"][0].sum() == 3
+
+
+def test_loader_mid_epoch_skip_continues_order():
+    """set_epoch(e, skip_batches=k) yields exactly the tail of the epoch —
+    mid-epoch checkpoint resume continues an uninterrupted run's data order."""
+    from seervideoldm_tpu.data.loader import DataLoader
+
+    class DS:
+        def __len__(self):
+            return 12
+
+        def __getitem__(self, i):
+            return np.full((2, 2, 3), i, dtype=np.float32), f"p{i}"
+
+    full = DataLoader(DS(), 2, shuffle=True, seed=3, num_workers=2)
+    full.set_epoch(5)
+    all_batches = [p for _, p in full]
+
+    resumed = DataLoader(DS(), 2, shuffle=True, seed=3, num_workers=2)
+    resumed.set_epoch(5, skip_batches=4)
+    tail = [p for _, p in resumed]
+    assert tail == all_batches[4:]
+    # the skip is consumed: the next epoch iteration starts from batch 0
+    resumed.set_epoch(6)
+    assert len([1 for _ in resumed]) == len(all_batches)

@@ -58,6 +58,7 @@ def main():
         "L0": 5, "L1": 5,
     }
     for (res_name, hw, ch) in [("512px-L0", 64, 320), ("512px-L1", 32, 640),
+                               ("512px-L2", 16, 1280), ("512px-L3", 8, 1280),
                                ("256px-L0", 32, 320), ("256px-L1", 16, 640)]:
         x = jax.random.normal(rng, (b, f, hw, hw, ch), dtype)
         temb = jax.random.normal(rng, (b, 1280), dtype)

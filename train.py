@@ -84,6 +84,13 @@ def main() -> None:
     params = {"unet": models.unet_params, "fstext": models.fstext_params}
     # gradients + Adam state only for temporal attentions + FSText
     trainable, frozen = partition_params(params, trainable_mask(params))
+    # drop the original full fp32 trees: the partition shares the trainable
+    # buffers, but once frozen is cast to bf16 below the fp32 frozen halves
+    # (~3.9 GB at flagship scale) would otherwise stay alive through these
+    # references for the whole run and OOM the 16 GB chip
+    del params
+    models.unet_params = None
+    models.fstext_params = None
     tx, schedule_fn = build_optimizer(
         trainable,
         cfg.learning_rate,
@@ -157,8 +164,12 @@ def main() -> None:
     window_losses: list = []  # per-micro-step losses in the current accum window
     accum = max(1, cfg.gradient_accumulation_steps)
     micro_step = global_step * accum
+    # mid-epoch resume: skip the batches already consumed this epoch so the
+    # data order continues exactly as an uninterrupted run (the reference
+    # replays the epoch from the start; this is a deliberate fix)
+    resume_skip = max(0, micro_step - start_epoch * max(1, len(loader)))
     for epoch in range(start_epoch, cfg.num_train_epochs):
-        loader.set_epoch(epoch)
+        loader.set_epoch(epoch, skip_batches=resume_skip if epoch == start_epoch else 0)
         for videos, prompts in loader:
             tok = tokenizer(prompts)
             videos = jax.device_put(
