@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+from jax.ad_checkpoint import checkpoint_name
 import jax.numpy as jnp
 
 from ..ops.attention import CrossAttention, WindowTemporalAttention
@@ -53,7 +54,8 @@ class FeedForward(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         inner = int(self.dim * self.mult)
         x = GEGLU(inner, dtype=self.dtype, param_dtype=self.param_dtype, name="net_0")(x)
-        return nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype, name="net_2")(x)
+        x = nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype, name="net_2")(x)
+        return checkpoint_name(x, "ff_out")
 
 
 class BasicTextTransformerBlock3D(nn.Module):

@@ -61,7 +61,12 @@ class SeerUNet(nn.Module):
     config: SeerUNetConfig = SEER_UNET_SD15_CONFIG
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
-    remat: bool = False
+    # False: no remat.  True / "block": full per-block remat.  "save_attn":
+    # per-block remat that SAVES the named attention/FF outputs — backward
+    # recompute skips re-running the attention kernels for ~8 MB/site of
+    # extra saved activations (the fused attention backwards recompute
+    # scores internally anyway, so full remat ran every attention twice).
+    remat: bool | str = False
     collect_attn: bool = False  # reference return_attn: sow cross-attn maps
     # retrieve with: unet.apply(..., mutable=["intermediates"])
 
@@ -97,9 +102,19 @@ class SeerUNet(nn.Module):
 
         sample = InflatedConv(boc[0], (3, 3), padding=1, name="conv_in", **kw)(sample)
 
-        maybe_remat = (lambda cls: nn.remat(cls, static_argnums=())) if self.remat else (
-            lambda cls: cls
-        )
+        if not self.remat:
+            maybe_remat = lambda cls: cls  # noqa: E731
+        elif self.remat == "save_attn":
+            import jax as _jax
+
+            policy = _jax.checkpoint_policies.save_only_these_names(
+                "attn_out", "ff_out"
+            )
+            maybe_remat = lambda cls: nn.remat(  # noqa: E731
+                cls, static_argnums=(), policy=policy
+            )
+        else:
+            maybe_remat = lambda cls: nn.remat(cls, static_argnums=())  # noqa: E731
 
         # --- down ---
         down_block_res: tuple = (sample,)

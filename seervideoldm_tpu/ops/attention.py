@@ -25,6 +25,7 @@ from typing import Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from .rotary import apply_rotary, rotary_freqs
 
@@ -189,7 +190,10 @@ class CrossAttention(nn.Module):
         else:
             out = dot_product_attention(q, k, v, scale, mask=mask, causal=causal)
         out = _merge_heads(out)
-        return dense(self.query_dim, "to_out_0", True)(out)
+        out = dense(self.query_dim, "to_out_0", True)(out)
+        # named for remat policies: saving attention outputs lets block-level
+        # rematerialization skip re-running the attention kernels in backward
+        return checkpoint_name(out, "attn_out")
 
 
 class WindowTemporalAttention(nn.Module):
@@ -254,6 +258,7 @@ class WindowTemporalAttention(nn.Module):
                 out = out.reshape(b, self.heads, n, self.dim_head)
                 out = _merge_heads(out)
                 out = dense(self.query_dim, "to_out_0", True)(out)
+                out = checkpoint_name(out, "attn_out")
                 return out.reshape(b, f, h, w, self.query_dim)
 
         freqs = rotary_freqs(jnp.arange(n), rot_dim)
@@ -279,4 +284,5 @@ class WindowTemporalAttention(nn.Module):
 
         out = _merge_heads(out)
         out = dense(self.query_dim, "to_out_0", True)(out)
+        out = checkpoint_name(out, "attn_out")
         return out.reshape(b, f, h, w, self.query_dim)

@@ -82,7 +82,8 @@ def load_models(cfg: Config, rng: jax.Array, latent_size: Optional[int] = None):
         dtype=dtype,
         param_dtype=param_dtype,
         latent_size=latent_size or cfg.resolution // vae_scale,
-        remat=bool(cfg.get("remat", False)),
+        # bool or policy string ("save_attn"); YAML `remat: save_attn`
+        remat=cfg.get("remat", False) or False,
     )
     tokenizer = build_tokenizer(cfg.tokenizer_path)
 

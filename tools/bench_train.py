@@ -28,7 +28,8 @@ def main():
     parser.add_argument("--num_frames", type=int, default=12)
     parser.add_argument("--cond_frames", type=int, default=2)
     parser.add_argument("--batch", type=int, default=1)
-    parser.add_argument("--remat", action="store_true", default=True)
+    parser.add_argument("--remat", default="save_attn",
+                        help="none | block | save_attn")
     parser.add_argument("--iters", type=int, default=3)
     parser.add_argument("--compile_effort", default="fast",
                         help="fast|default (fast keeps the cold backward "
@@ -54,7 +55,9 @@ def main():
 
     # build only the trainable stack (VAE/CLIP encoding is a frozen
     # prepare pass outside the step)
-    unet = SeerUNet(dtype=dtype, remat=args.remat)
+    remat = False if args.remat == "none" else (
+        True if args.remat == "block" else args.remat)
+    unet = SeerUNet(dtype=dtype, remat=remat)
     fstext = FSTextTransformer(num_frames=f, dtype=dtype)
     rng = jax.random.PRNGKey(0)
     unet_params = unet.init(
