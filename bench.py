@@ -53,11 +53,16 @@ def main() -> None:
     clip_emb = jax.random.normal(k1, (b, 77, 768), dtype)
     x0_emb = jax.random.normal(k2, (b, f1, latent, latent, 4), dtype)
     x_T = jax.random.normal(k3, (b, f2, latent, latent, 4), dtype)
-    unet_params = unet.init(
-        k4, jnp.zeros((2 * b, f, latent, latent, 4), dtype),
-        jnp.zeros((2 * b,), jnp.int32), jnp.zeros((2 * b, f, 77, 768), dtype), 0,
-    )["params"]
-    fstext_params = fstext.init(k4, clip_emb)["params"]
+    # jit the inits at TINY spatial shapes: param shapes don't depend on
+    # h/w, and an unjitted full-scale init dispatches thousands of eager
+    # ops through the relay (~10 min of pure dispatch latency)
+    unet_params = jax.jit(lambda k: unet.init(
+        k, jnp.zeros((1, f, 8, 8, 4), dtype),
+        jnp.zeros((1,), jnp.int32), jnp.zeros((1, f, 77, 768), dtype), 0,
+    )["params"])(k4)
+    fstext_params = jax.jit(
+        lambda k: fstext.init(k, jnp.zeros((1, 77, 768), dtype))["params"]
+    )(k4)
     # production inference: store weights in bf16 (halves HBM weight traffic)
     unet_params = jax.tree.map(lambda p: p.astype(dtype), unet_params)
     fstext_params = jax.tree.map(lambda p: p.astype(dtype), fstext_params)
@@ -94,18 +99,32 @@ def main() -> None:
             return unet.apply({"params": unet_params}, x,
                               jnp.zeros((2 * b,), jnp.int32), ctx, 0)
 
-        x_probe = jnp.zeros((2 * b, f, latent, latent, 4), dtype)
-        ctx_probe = jnp.zeros((2 * b, f, 77, 768), dtype)
-        lowered = jax.jit(one_unet_step).lower(unet_params, x_probe, ctx_probe)
+        # abstract shapes only — and lower for the CPU backend: FLOP counts
+        # are platform-independent and the axon relay's cost_analysis is
+        # unavailable
+        shapes = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), unet_params)
+        x_probe = jax.ShapeDtypeStruct((2 * b, f, latent, latent, 4), dtype)
+        ctx_probe = jax.ShapeDtypeStruct((2 * b, f, 77, 768), dtype)
+        import importlib
+
+        _fa = importlib.import_module("seervideoldm_tpu.ops.pallas.flash_attention")
+        _sw = importlib.import_module("seervideoldm_tpu.ops.pallas.swat_attention")
+        cpu = jax.devices("cpu")[0]
+        _fa._DISABLE = _sw._DISABLE = True  # einsum path lowers for CPU
         try:
-            cost = lowered.cost_analysis()  # pre-optimization, no compile
-        except Exception:
-            cost = lowered.compile().cost_analysis()
+            lowered = jax.jit(one_unet_step, device=cpu).lower(
+                shapes, x_probe, ctx_probe)
+        finally:
+            _fa._DISABLE = _sw._DISABLE = False
+        cost = lowered.cost_analysis()  # pre-optimization, no compile
         if cost:
             step_flops = float(cost.get("flops", 0.0))
             total_flops = step_flops * args.ddim_steps or None
-    except Exception:
-        pass
+    except Exception as exc:
+        import sys
+
+        print(f"cost analysis unavailable: {exc!r}", file=sys.stderr, flush=True)
     peak_flops = {"TPU v5 lite": 197e12, "TPU v5": 459e12,
                   "TPU v4": 275e12, "TPU v6 lite": 918e12}
     kind = jax.devices()[0].device_kind

@@ -40,9 +40,14 @@ NEG_INF = -1e30
 
 # Test hook: run kernels in the Pallas interpreter (works on CPU).
 _INTERPRET = False
+# Force the einsum path (e.g. when lowering for a backend that cannot
+# compile Mosaic kernels, like bench.py's CPU FLOP-count probe).
+_DISABLE = False
 
 
 def flash_attention_available() -> bool:
+    if _DISABLE:
+        return False
     return _INTERPRET or (_HAS_PLTPU and jax.default_backend() in ("tpu", "axon"))
 
 

@@ -46,9 +46,13 @@ NEG_INF = -1e30
 
 # Test hook: interpreter mode (CPU).
 _INTERPRET = False
+# Force the unfused XLA path (see flash_attention._DISABLE).
+_DISABLE = False
 
 
 def swat_attention_available() -> bool:
+    if _DISABLE:
+        return False
     return _INTERPRET or (_HAS_PLTPU and jax.default_backend() in ("tpu", "axon"))
 
 

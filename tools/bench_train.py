@@ -60,11 +60,15 @@ def main():
     unet = SeerUNet(dtype=dtype, remat=remat)
     fstext = FSTextTransformer(num_frames=f, dtype=dtype)
     rng = jax.random.PRNGKey(0)
-    unet_params = unet.init(
-        rng, jnp.zeros((b, f, latent, latent, 4), dtype),
-        jnp.zeros((b,), jnp.int32), jnp.zeros((b, f, 77, 768), dtype), f1,
-    )["params"]
-    fstext_params = fstext.init(rng, jnp.zeros((b, 77, 768), dtype))["params"]
+    # jitted tiny-spatial init: param shapes don't depend on h/w, and an
+    # unjitted full-scale init costs ~10 min of relay dispatch latency
+    unet_params = jax.jit(lambda k: unet.init(
+        k, jnp.zeros((1, f, 8, 8, 4), dtype),
+        jnp.zeros((1,), jnp.int32), jnp.zeros((1, f, 77, 768), dtype), f1,
+    )["params"])(rng)
+    fstext_params = jax.jit(
+        lambda k: fstext.init(k, jnp.zeros((1, 77, 768), dtype))["params"]
+    )(rng)
     params = {"unet": unet_params, "fstext": fstext_params}
 
     class M:  # minimal SeerModels stand-in for make_train_step
