@@ -59,9 +59,11 @@ def dot_product_attention(
     if use_flash and mask is None:
         from .pallas.flash_attention import flash_attention, flash_attention_available
 
-        # flash path: worthwhile once the score matrix stops being tiny;
-        # rectangular-causal (tril(m-n)) stays on the einsum path
-        if flash_attention_available() and n >= 128 and (not causal or n == m):
+        # flash pays off only at long sequences: measured on v5e, flash wins
+        # ~1.8x at seq>=1024 but LOSES ~2x at seq=256 (per-program overhead
+        # vs one fat XLA batched matmul); rectangular-causal (tril(m-n))
+        # stays on the einsum path
+        if flash_attention_available() and n >= 512 and (not causal or n == m):
             return flash_attention(q, k, v, scale, causal)
     if causal and mask is None:
         mask = causal_mask(n, m)
@@ -244,7 +246,10 @@ class WindowTemporalAttention(nn.Module):
         ws = select_window_size(h)
         scale = self.dim_head**-0.5
 
-        if ws is not None and self.use_flash:
+        # measured on v5e: the fused kernel wins at ws=8 (3.0 vs 4.1 ms at
+        # the 512px-L1 shape) but the XLA path edges it out at ws=4 windows
+        # (2.05 vs 2.24 ms) — tiny windows amortize nothing
+        if ws is not None and ws >= 8 and self.use_flash:
             from .pallas.swat_attention import swat_attention, swat_attention_available
 
             if swat_attention_available():
