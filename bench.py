@@ -131,6 +131,7 @@ def main() -> None:
     peak = next((v for k, v in peak_flops.items() if kind.startswith(k)), None)
 
     times = []
+    copy_s = float("nan")
     for i in range(args.iters):
         x_T_i = jax.random.normal(jax.random.PRNGKey(i + 1), x_T.shape, dtype)
         np.asarray(x_T_i)  # ensure input upload is not inside the timer

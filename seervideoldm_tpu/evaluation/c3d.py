@@ -5,10 +5,10 @@ non-PyTorch compute path in the reference, here unified into JAX.
 
 - ``pre``: RGB→BGR channel swap ×128 (a fixed 1x1x1 conv in the reference,
   ``c3d.py:65-67``) on inputs in [-1, 1];
-- resize each frame to 112×112, then add the bias ``128 - mean`` where mean
-  is the UCF-101 mean image cropped to 112 (``c3d.py:68-71``).  (The
-  reference's chainer resize uses align_corners=True bilinear; we use JAX's
-  half-pixel 'linear' — sub-pixel difference only.)
+- resize each frame to 112×112 with align_corners=True bilinear (exactly
+  chainer ``F.resize_images``, ``c3d.py:161-166``), then add the bias
+  ``128 - mean`` where mean is the UCF-101 mean image cropped to 112
+  (``c3d.py:68-71``);
 - conv1a(64) pool(1,2,2) conv2a(128) pool conv3a/b(256) pool conv4a/b(512)
   pool conv5a/b(512) pool → fc6(4096) fc7(4096) fc8(101).  Chainer pools use
   ``cover_all=True`` (ceil) — replicated with explicit end-padding.
@@ -19,6 +19,30 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _resize_bilinear_align_corners(x, out_h: int, out_w: int):
+    """Bilinear spatial resize with align_corners=True (chainer
+    ``F.resize_images`` semantics): src = i * (in-1)/(out-1).
+
+    x: (b, t, h, w, c)."""
+    b, t, h, w, c = x.shape
+
+    def axis_weights(n_in, n_out):
+        src = jnp.linspace(0.0, float(n_in - 1), n_out)
+        lo = jnp.clip(jnp.floor(src).astype(jnp.int32), 0, n_in - 1)
+        hi = jnp.minimum(lo + 1, n_in - 1)
+        frac = (src - lo).astype(x.dtype)
+        return lo, hi, frac
+
+    y0, y1, wy = axis_weights(h, out_h)
+    x0, x1, wx = axis_weights(w, out_w)
+    top = jnp.take(x, y0, axis=2)
+    bot = jnp.take(x, y1, axis=2)
+    rows = top * (1.0 - wy)[None, None, :, None, None] + bot * wy[None, None, :, None, None]
+    left = jnp.take(rows, x0, axis=3)
+    right = jnp.take(rows, x1, axis=3)
+    return left * (1.0 - wx)[None, None, None, :, None] + right * wx[None, None, None, :, None]
 
 
 def _max_pool_ceil(x: jnp.ndarray, kernel, stride) -> jnp.ndarray:
@@ -57,7 +81,10 @@ class C3D(nn.Module):
                 "(reference chainer C3D mean-image is 16-frame; run IS on "
                 "16-frame recipes like bridge/epickitchens)"
             )
-        x = jax.image.resize(x, (b, t, 112, 112, c), method="linear")
+        # chainer F.resize_images (reference c3d.py:161-166) is bilinear
+        # with ALIGN_CORNERS=True and no antialiasing — neither matches
+        # jax.image.resize's half-pixel convention, so resize manually
+        x = _resize_bilinear_align_corners(x, 112, 112)
         mean_bias = self.param(
             "mean_bias", nn.initializers.zeros, (16, 112, 112, 3), jnp.float32
         )

@@ -275,6 +275,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
     k = k_ref[0]  # (kv_pad, d)
     v = v_ref[0]
     kv_pad = k.shape[0]
+    need_mask = causal or kv_len != kv_pad  # same elision as the forward
 
     dk_scr[:] = jnp.zeros_like(dk_scr)
     dv_scr[:] = jnp.zeros_like(dv_scr)
@@ -285,12 +286,14 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale  # (bq, kv_pad) fp32
-        cols = jax.lax.broadcasted_iota(jnp.int32, (bq, kv_pad), 1)
-        mask = cols < kv_len
-        if causal:
-            rows = i * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, kv_pad), 0)
-            mask = jnp.logical_and(mask, cols <= rows)
-        s = jnp.where(mask, s, NEG_INF)
+        if need_mask:
+            cols = jax.lax.broadcasted_iota(jnp.int32, (bq, kv_pad), 1)
+            mask = cols < kv_len
+            if causal:
+                rows = i * bq + jax.lax.broadcasted_iota(
+                    jnp.int32, (bq, kv_pad), 0)
+                mask = jnp.logical_and(mask, cols <= rows)
+            s = jnp.where(mask, s, NEG_INF)
         p = jax.nn.softmax(s, axis=-1)  # (bq, kv_pad) fp32
 
         g32 = g.astype(jnp.float32)
@@ -390,7 +393,10 @@ def _bwd_einsum(scale, causal, residuals, g):
         n, m = logits.shape[-2], logits.shape[-1]
         rows = jax.lax.broadcasted_iota(jnp.int32, (n, m), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (n, m), 1)
-        logits = jnp.where(cols <= rows + (m - n), logits, NEG_INF)
+        # top-left tril (cols <= rows) — the mask the forward kernels apply;
+        # a bottom-aligned tril here would differentiate a different
+        # function for rectangular causal inputs
+        logits = jnp.where(cols <= rows, logits, NEG_INF)
     p = jax.nn.softmax(logits, axis=-1)
     g32 = g.astype(jnp.float32)
     v32 = v.astype(jnp.float32)

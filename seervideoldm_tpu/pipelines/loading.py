@@ -40,6 +40,21 @@ _DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat1
            "no": jnp.float32}
 
 
+def _parse_remat(value):
+    """Normalize the YAML ``remat`` knob; reject unknown strings loudly
+    (an unrecognized truthy string would otherwise silently ENABLE full
+    block remat)."""
+    if value in (False, None, 0, "", "none", "False", "false"):
+        return False
+    if value in (True, "block", "True", "true"):
+        return True
+    if value == "save_attn":
+        return "save_attn"
+    raise ValueError(
+        f"remat must be one of False/none, True/block, save_attn; got {value!r}"
+    )
+
+
 def load_models(cfg: Config, rng: jax.Array, latent_size: Optional[int] = None):
     """Build SeerModels (+ tokenizer), loading any locally available weights.
 
@@ -82,8 +97,8 @@ def load_models(cfg: Config, rng: jax.Array, latent_size: Optional[int] = None):
         dtype=dtype,
         param_dtype=param_dtype,
         latent_size=latent_size or cfg.resolution // vae_scale,
-        # bool or policy string ("save_attn"); YAML `remat: save_attn`
-        remat=cfg.get("remat", False) or False,
+        # bool or policy string; YAML `remat: save_attn`
+        remat=_parse_remat(cfg.get("remat", False)),
     )
     tokenizer = build_tokenizer(cfg.tokenizer_path)
 

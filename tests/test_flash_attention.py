@@ -68,7 +68,7 @@ def test_flash_gradients_match_einsum():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3)
 
 
-@pytest.mark.parametrize("q_len,kv_len,causal", [(256, 77, False), (640, 640, True)])
+@pytest.mark.parametrize("q_len,kv_len,causal", [(256, 77, False), (640, 640, True), (256, 512, True)])
 def test_fused_backward_kernel(q_len, kv_len, causal):
     """Grad parity of the Pallas backward kernel vs einsum recompute."""
     rng = np.random.RandomState(3)

@@ -184,3 +184,21 @@ def test_fvd_preprocess_matches_reference(ref):
         ).numpy()
         got_b = got[b].transpose(3, 0, 1, 2)  # (c, t, h, w)
         np.testing.assert_allclose(got_b, want, atol=2e-2)
+
+
+def test_c3d_resize_matches_align_corners_bilinear(ref):
+    """The C3D IS preprocessing resize must be align_corners=True bilinear
+    with no antialiasing — chainer F.resize_images semantics
+    (reference c3d.py:161-166)."""
+    from seervideoldm_tpu.evaluation.c3d import _resize_bilinear_align_corners
+
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(5)
+    x = rng.rand(1, 2, 20, 26, 3).astype(np.float32)
+    got = np.asarray(_resize_bilinear_align_corners(jnp.asarray(x), 112, 112))
+    xt = torch.from_numpy(x.transpose(0, 1, 4, 2, 3).reshape(2, 3, 20, 26))
+    want = torch.nn.functional.interpolate(
+        xt, size=(112, 112), mode="bilinear", align_corners=True
+    ).numpy().reshape(1, 2, 3, 112, 112).transpose(0, 1, 3, 4, 2)
+    np.testing.assert_allclose(got, want, atol=1e-5)

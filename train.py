@@ -134,6 +134,7 @@ def main() -> None:
     lr_meter = RunningAverageMeter(0.99)
     global_step = 0
     start_epoch = 0
+    meta_loaded = False
     if cfg.saved_global_step:
         global_step = int(cfg.saved_global_step)
         state = ckpt.restore(global_step, state)
@@ -143,6 +144,7 @@ def main() -> None:
 
             with open(meta_path) as f:
                 meta = json.load(f)
+            meta_loaded = True
             start_epoch = meta.get("epoch", 0)
             losses_train.load_ckpt(meta["losses_train"])
             lr_meter.load_ckpt(meta["lr_meter"])
@@ -166,8 +168,17 @@ def main() -> None:
     micro_step = global_step * accum
     # mid-epoch resume: skip the batches already consumed this epoch so the
     # data order continues exactly as an uninterrupted run (the reference
-    # replays the epoch from the start; this is a deliberate fix)
-    resume_skip = max(0, micro_step - start_epoch * max(1, len(loader)))
+    # replays the epoch from the start; this is a deliberate fix).  Only
+    # valid when the sidecar meta (start_epoch) loaded AND the epoch length
+    # still matches — otherwise the skip would silently land in the wrong
+    # epoch position, which is worse than replaying.
+    steps_per_epoch = max(1, len(loader))
+    resume_skip = max(0, micro_step - start_epoch * steps_per_epoch)
+    if resume_skip and (not meta_loaded or resume_skip >= steps_per_epoch):
+        if resume_skip:
+            print("resume: epoch meta missing or dataset size changed — "
+                  "replaying the epoch from the start")
+        resume_skip = 0
     for epoch in range(start_epoch, cfg.num_train_epochs):
         loader.set_epoch(epoch, skip_batches=resume_skip if epoch == start_epoch else 0)
         for videos, prompts in loader:
