@@ -114,6 +114,22 @@ def _coerce(value: str) -> Any:
     return yaml.safe_load(value)
 
 
+def validate(cfg: Config) -> Config:
+    """Reject reference knobs this framework cannot honor — loudly.
+
+    Silently swallowing a requested behavior (the reference honors
+    ``push_to_hub`` at ``train.py:139-150``) is worse than failing: the user
+    would believe their run did something it did not.
+    """
+    if cfg.get("push_to_hub"):
+        raise ValueError(
+            "push_to_hub is not supported: this framework runs with zero "
+            "egress (no Hugging Face Hub access). Remove `push_to_hub: true` "
+            "from the config and upload the checkpoint directory manually."
+        )
+    return cfg
+
+
 def load_config(path: str, overrides: Optional[list[str]] = None) -> Config:
     """Load a flat YAML config, applying ``key=value`` overrides."""
     with open(path) as f:
@@ -130,7 +146,7 @@ def load_config(path: str, overrides: Optional[list[str]] = None) -> Config:
             setattr(cfg, key, _coerce(value))
         else:
             cfg.extras[key] = _coerce(value)
-    return cfg
+    return validate(cfg)
 
 
 def parse_args(description: str, extra_flags: Optional[dict] = None) -> Config:

@@ -33,7 +33,7 @@ from .transforms import cast_num_frames, load_frame
 
 
 def _load_clip(paths: Sequence[str], resolution: int, num_frames: int,
-               horizontal_flip: bool = False,
+               flip_key: tuple | None = None,
                force_num_frames: bool = True) -> np.ndarray:
     frames = None
     if all(str(p).lower().endswith((".jpg", ".jpeg")) for p in paths):
@@ -42,10 +42,12 @@ def _load_clip(paths: Sequence[str], resolution: int, num_frames: int,
         frames = decode_frames([str(p) for p in paths], resolution)
     if frames is None:  # non-JPEG inputs or native loader unavailable
         frames = np.stack([load_frame(str(p), resolution) for p in paths], axis=0)
-    if horizontal_flip and np.random.default_rng().random() < 0.5:
+    if flip_key is not None and np.random.default_rng(flip_key).random() < 0.5:
         # reference RandomHorizontalFlip (sthv2.py:19,45) — applied per CLIP
         # here (the reference's per-frame transform would flip frames of one
-        # clip inconsistently; deliberate fix, knob is defaults-off anyway)
+        # clip inconsistently; deliberate fix, knob is defaults-off anyway).
+        # flip_key = (seed, epoch, index): stateless, so checkpoint-resume
+        # replays the identical augmentation stream (loader resume story).
         frames = frames[:, :, ::-1].copy()
     return cast_num_frames(frames, num_frames) if force_num_frames else frames
 
@@ -63,10 +65,21 @@ class _VideoTextDataset:
         self.exts = tuple(exts)
         self.horizontal_flip = horizontal_flip
         self.force_num_frames = force_num_frames
+        self.flip_seed = 0
+        self.flip_epoch = 0
 
-    def _clip(self, paths: Sequence[str]) -> np.ndarray:
+    def set_flip_state(self, seed: int, epoch: int) -> None:
+        """Key the stateless flip decision; called by DataLoader.set_epoch."""
+        self.flip_seed = seed
+        self.flip_epoch = epoch
+
+    def _clip(self, paths: Sequence[str], index: int = 0) -> np.ndarray:
+        flip_key = (
+            (self.flip_seed, self.flip_epoch, index)
+            if self.horizontal_flip else None
+        )
         return _load_clip(paths, self.image_size, self.num_frames,
-                          self.horizontal_flip, self.force_num_frames)
+                          flip_key, self.force_num_frames)
 
     def __len__(self) -> int:
         raise NotImplementedError
@@ -92,7 +105,7 @@ class SthV2Dataset(_VideoTextDataset):
         label_id, prompt = entry["id"], entry["label"]
         root = Path(osp.join(self.raw_frames_dir, label_id))
         paths = sorted(p for ext in self.exts for p in root.glob(f"**/*.{ext}"))
-        return self._clip(paths), prompt
+        return self._clip(paths, index), prompt
 
 
 class BridgeDataset(_VideoTextDataset):
@@ -117,7 +130,7 @@ class BridgeDataset(_VideoTextDataset):
         )
         root = Path(osp.join(self.raw_frames_dir, label_id))
         paths = sorted(p for ext in self.exts for p in root.glob(f"**/*.{ext}"))
-        return self._clip(paths), prompt
+        return self._clip(paths, index), prompt
 
 
 class EpicKitchensDataset(_VideoTextDataset):
@@ -150,7 +163,7 @@ class EpicKitchensDataset(_VideoTextDataset):
             osp.join(root, f"frame_{p:010d}.{self.exts[0]}")
             for p in range(start, end + 1, stride)
         ]
-        return self._clip(paths), e["prompt"]
+        return self._clip(paths, index), e["prompt"]
 
 
 def build_dataset(name: str, folder: str, image_size: int, num_frames: int,

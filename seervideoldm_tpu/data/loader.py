@@ -51,6 +51,10 @@ class DataLoader:
         decode work is done for skipped batches)."""
         self.epoch = epoch
         self._skip = skip_batches
+        if hasattr(self.dataset, "set_flip_state"):
+            # stateless per-(seed, epoch, index) flip keying: augmentation
+            # replays identically across checkpoint resume
+            self.dataset.set_flip_state(self.seed, epoch)
 
     def _indices(self) -> np.ndarray:
         n = len(self.dataset)
@@ -74,16 +78,22 @@ class DataLoader:
         stop = threading.Event()
 
         def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for b in range(first, nb):
-                    if stop.is_set():
-                        return
-                    batch_idx = indices[b * self.batch_size : (b + 1) * self.batch_size]
-                    items = list(pool.map(self.dataset.__getitem__, batch_idx))
-                    videos = np.stack([v for v, _ in items], axis=0)
-                    prompts = [p for _, p in items]
-                    out_q.put((videos, prompts))
-            out_q.put(None)
+            # any failure (e.g. one corrupt JPEG deep in a 200k-step run)
+            # must surface promptly on the consumer side — swallowing it
+            # here would leave the training loop blocked on out_q forever
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for b in range(first, nb):
+                        if stop.is_set():
+                            return
+                        batch_idx = indices[b * self.batch_size : (b + 1) * self.batch_size]
+                        items = list(pool.map(self.dataset.__getitem__, batch_idx))
+                        videos = np.stack([v for v, _ in items], axis=0)
+                        prompts = [p for _, p in items]
+                        out_q.put((videos, prompts))
+                out_q.put(None)
+            except BaseException as exc:  # noqa: BLE001 — relayed, not dropped
+                out_q.put(exc)
 
         thread = threading.Thread(target=produce, daemon=True)
         thread.start()
@@ -92,6 +102,14 @@ class DataLoader:
                 item = out_q.get()
                 if item is None:
                     return
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()
+            # unblock a producer stuck on a full queue so it can observe stop
+            try:
+                while True:
+                    out_q.get_nowait()
+            except queue.Empty:
+                pass

@@ -305,8 +305,11 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
         )  # (bq, kv_pad)
         delta = jnp.sum(p * dp, axis=-1, keepdims=True)  # (bq, 1)
         ds = p * (dp - delta) * scale  # (bq, kv_pad) fp32
+        # fp32 ds for dq too — matching dk/dv and the einsum fallback; a
+        # bf16 cast here gave dq systematically lower precision than its
+        # siblings for no measured speedup (ds already lives in VMEM fp32)
         dq_ref[0, pl.ds(i * bq, bq), :] = jax.lax.dot_general(
-            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(dq_ref.dtype)
         dk_scr[:] += jax.lax.dot_general(

@@ -266,11 +266,25 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *,
     dv_ref[0] = cat(dvs).astype(dv_ref.dtype)
 
 
+def _bwd_strip_width(w: int, ws: int) -> int | None:
+    """Widest strip <= 16 that is a whole number of windows AND divides w.
+
+    Both constraints matter: strips must align to window boundaries (the
+    kernel splits them statically into ``ws`` sub-windows) and must tile w
+    exactly — with w % sw != 0 the trailing columns would belong to no grid
+    cell and dq/dk/dv there would be uninitialized garbage."""
+    for sw in range(min(16, w), 0, -1):
+        if sw % ws == 0 and w % sw == 0:
+            return sw
+    return None
+
+
 def _swat_backward(q, k, v, g, scale: float, causal: bool, ws: int,
                    rot_dim: int, theta: float = 10000.0):
     """Fused SWAT backward. q/k/v/g: (B, f, h, w, d) -> (dq, dk, dv)."""
     batch, f, h, w, d = q.shape
-    sw = min(16, w)  # narrow strips keep 7 live blocks inside VMEM
+    sw = _bwd_strip_width(w, ws)  # narrow strips keep 7 live blocks in VMEM
+    assert sw is not None and w % sw == 0 and h % ws == 0
     grid = (batch, h // ws, w // sw)
     spec = pl.BlockSpec((1, f, ws, sw, d), lambda b, i, c: (b, 0, i, c, 0))
     return pl.pallas_call(
@@ -325,7 +339,9 @@ def _fwd(q, k, v, scale, causal, ws, rot_dim):
 
 def _bwd(scale, causal, ws, rot_dim, residuals, g):
     q, k, v = residuals
-    if swat_attention_available():
+    _, _, h, w, _ = q.shape
+    if (swat_attention_available() and h % ws == 0
+            and _bwd_strip_width(w, ws) is not None):
         return _swat_backward(q, k, v, g, scale, causal, ws, rot_dim)
 
     def f(q, k, v):

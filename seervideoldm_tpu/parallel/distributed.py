@@ -21,22 +21,31 @@ def initialize_distributed() -> None:
     """
     # Do NOT probe jax.process_count() here: it initializes the XLA backend,
     # after which jax.distributed.initialize() refuses to run — it must be
-    # the first JAX call on a multi-host launch.
-    from jax._src import distributed as _dist
+    # the first JAX call on a multi-host launch.  The already-initialized
+    # probe uses a private module; guard it so a JAX upgrade degrades to the
+    # RuntimeError fallback instead of crashing at import.
+    try:
+        from jax._src import distributed as _dist
 
-    if getattr(_dist.global_state, "client", None) is not None:
-        return  # already initialized
+        if getattr(_dist.global_state, "client", None) is not None:
+            return  # already initialized
+    except Exception:
+        pass
     coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
-    if coord:
-        jax.distributed.initialize(
-            coordinator_address=coord,
-            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
-            process_id=int(os.environ["JAX_PROCESS_ID"]),
-        )
-    elif os.environ.get("TPU_WORKER_HOSTNAMES") and os.environ.get(
-        "MEGASCALE_COORDINATOR_ADDRESS"
-    ):
-        jax.distributed.initialize()
+    try:
+        if coord:
+            jax.distributed.initialize(
+                coordinator_address=coord,
+                num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+                process_id=int(os.environ["JAX_PROCESS_ID"]),
+            )
+        elif os.environ.get("TPU_WORKER_HOSTNAMES") and os.environ.get(
+            "MEGASCALE_COORDINATOR_ADDRESS"
+        ):
+            jax.distributed.initialize()
+    except RuntimeError as exc:
+        if "already" not in str(exc):  # double-init is benign; else re-raise
+            raise
 
 
 def gather_across_hosts(x) -> "np.ndarray":

@@ -97,8 +97,12 @@ def load_models(cfg: Config, rng: jax.Array, latent_size: Optional[int] = None):
         dtype=dtype,
         param_dtype=param_dtype,
         latent_size=latent_size or cfg.resolution // vae_scale,
-        # bool or policy string; YAML `remat: save_attn`
-        remat=_parse_remat(cfg.get("remat", False)),
+        # bool or policy string; YAML `remat: save_attn`.  The reference's
+        # `gradient_checkpointing` key (its train.py plumbs it into
+        # torch.utils.checkpoint per block, unet_3d_blocks.py:369-401) maps
+        # to block remat when the TPU-native `remat` knob is unset.
+        remat=(_parse_remat(cfg.get("remat", False))
+               or bool(cfg.get("gradient_checkpointing", False))),
     )
     tokenizer = build_tokenizer(cfg.tokenizer_path)
 

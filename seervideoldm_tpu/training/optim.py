@@ -60,6 +60,7 @@ def build_optimizer(
     max_grad_norm: float = 0.3,
     accumulation_steps: int = 1,
     partitioned: bool = False,
+    use_8bit: bool = False,
 ) -> tuple[optax.GradientTransformation, optax.Schedule]:
     """Returns (optimizer, schedule).
 
@@ -69,11 +70,17 @@ def build_optimizer(
     zero updates via ``multi_transform`` (but gradients/moments still
     materialize — use partitioning at real scale)."""
     schedule = lr_schedule(scheduler, learning_rate, warmup_steps, total_steps)
-    inner = optax.chain(
-        optax.clip_by_global_norm(max_grad_norm),
-        optax.adamw(schedule, b1=betas[0], b2=betas[1], eps=eps,
-                    weight_decay=weight_decay),
-    )
+    if use_8bit:
+        # reference `use_8bit_adam` (bitsandbytes AdamW8bit, train.py:214-222):
+        # int8 blockwise-quantized moments, ~4x less optimizer-state HBM
+        from .optim8bit import adamw_8bit
+
+        adam = adamw_8bit(schedule, b1=betas[0], b2=betas[1], eps=eps,
+                          weight_decay=weight_decay)
+    else:
+        adam = optax.adamw(schedule, b1=betas[0], b2=betas[1], eps=eps,
+                           weight_decay=weight_decay)
+    inner = optax.chain(optax.clip_by_global_norm(max_grad_norm), adam)
     if partitioned:
         tx = inner
     else:

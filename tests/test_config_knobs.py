@@ -1,0 +1,92 @@
+"""Every reference train.yaml knob is honored or rejected loudly.
+
+VERDICT r2 Missing #2/#3 + weak-knob item: ``use_8bit_adam`` and
+``gradient_checkpointing`` must change behavior; ``push_to_hub`` must fail
+with a clear error instead of being silently swallowed into ``extras``.
+Reference behavior: ``/root/reference/train.py:139-150`` (hub),
+``:214-222`` (8-bit Adam), ``unet_3d_blocks.py:369-401`` (checkpointing).
+"""
+import os
+
+import pytest
+import yaml
+
+from seervideoldm_tpu.config import load_config
+
+REF_TRAIN = "/root/reference/configs/train.yaml"
+
+
+def _write_cfg(tmp_path, **over):
+    base = {}
+    if os.path.exists(REF_TRAIN):
+        with open(REF_TRAIN) as f:
+            base = yaml.safe_load(f)
+    base.update(over)
+    p = tmp_path / "cfg.yaml"
+    p.write_text(yaml.safe_dump(base))
+    return str(p)
+
+
+def test_push_to_hub_rejected_loudly(tmp_path):
+    path = _write_cfg(tmp_path, push_to_hub=True)
+    with pytest.raises(ValueError, match="push_to_hub"):
+        load_config(path)
+
+
+def test_push_to_hub_false_ok(tmp_path):
+    cfg = load_config(_write_cfg(tmp_path, push_to_hub=False))
+    assert cfg.push_to_hub is False
+
+
+def test_use_8bit_adam_changes_optimizer(tmp_path):
+    import jax.numpy as jnp
+
+    from seervideoldm_tpu.training.optim import build_optimizer
+    from seervideoldm_tpu.training.optim8bit import ScaleBy8bitAdamState
+
+    cfg = load_config(_write_cfg(tmp_path, use_8bit_adam=True))
+    assert cfg.use_8bit_adam is True
+    params = {"fstext": {"w": jnp.ones((8, 8))}}
+    tx, _ = build_optimizer(params, 1e-3, partitioned=True,
+                            use_8bit=cfg.use_8bit_adam, accumulation_steps=1)
+    state = tx.init(params)
+    flat = [s for s in state if isinstance(s, tuple)]
+    assert any(isinstance(s, ScaleBy8bitAdamState) for s in _walk(state)), state
+
+
+def _walk(obj):
+    yield obj
+    if isinstance(obj, (tuple, list)):
+        for o in obj:
+            yield from _walk(o)
+
+
+def test_gradient_checkpointing_maps_to_remat(tmp_path, monkeypatch):
+    """The reference YAML key must enable block remat on the built UNet."""
+    from seervideoldm_tpu.pipelines import loading
+
+    captured = {}
+
+    def fake_initialize(rng, **kw):
+        captured.update(kw)
+        raise _Sentinel
+
+    class _Sentinel(Exception):
+        pass
+
+    monkeypatch.setattr(loading.SeerModels, "initialize",
+                        staticmethod(fake_initialize))
+    cfg = load_config(_write_cfg(tmp_path, gradient_checkpointing=True))
+    import jax
+
+    with pytest.raises(_Sentinel):
+        loading.load_models(cfg, jax.random.PRNGKey(0))
+    assert captured["remat"] is True
+
+    captured.clear()
+    cfg2 = load_config(_write_cfg(tmp_path, gradient_checkpointing=True,
+                                  remat="save_attn"))
+    with pytest.raises(_Sentinel):
+        loading.load_models(cfg2, jax.random.PRNGKey(0))
+    # explicit TPU-native knob wins over the bool mapping
+    assert captured["remat"] == "save_attn"

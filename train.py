@@ -103,6 +103,7 @@ def main() -> None:
         max_grad_norm=cfg.max_grad_norm,
         accumulation_steps=cfg.gradient_accumulation_steps,
         partitioned=True,
+        use_8bit=bool(cfg.use_8bit_adam),
     )
     state = TrainState.create(trainable, tx)
     state = jax.device_put(state, replicate(mesh))
@@ -174,10 +175,16 @@ def main() -> None:
     # epoch position, which is worse than replaying.
     steps_per_epoch = max(1, len(loader))
     resume_skip = max(0, micro_step - start_epoch * steps_per_epoch)
-    if resume_skip and (not meta_loaded or resume_skip >= steps_per_epoch):
-        if resume_skip:
-            print("resume: epoch meta missing or dataset size changed — "
-                  "replaying the epoch from the start")
+    if resume_skip and not meta_loaded:
+        print("resume: epoch meta missing — replaying the epoch from the start")
+        resume_skip = 0
+    elif resume_skip == steps_per_epoch:
+        # checkpoint landed exactly on an epoch boundary: that epoch is fully
+        # consumed — continue with the next one instead of replaying it
+        start_epoch += 1
+        resume_skip = 0
+    elif resume_skip > steps_per_epoch:
+        print("resume: dataset size changed — replaying the epoch from the start")
         resume_skip = 0
     for epoch in range(start_epoch, cfg.num_train_epochs):
         loader.set_epoch(epoch, skip_batches=resume_skip if epoch == start_epoch else 0)
