@@ -4,12 +4,15 @@ Prints ONE JSON line:
   {"metric": "frames_per_sec_per_chip", "value": N, "unit": "frames/s/chip",
    "vs_baseline": R}
 
-Protocol (BASELINE.md north star): 12-frame clip, DDIM sampling with CFG
-(2x batched UNet), cond_frames=2, SD-1.5-scale SeerUNet in bf16.  The
-resolution defaults to 256 px latents (32x32) — the reference training/eval
-recipe was 256 px; the driver benchmark (BASELINE.json) is 512 px — the default.  The baseline divisor
-is the A100 reference measurement when available in BASELINE.json, else 1.0
-(value is then the raw frames/s/chip).
+Protocol (BASELINE.md north star): 12-frame clip, DDIM-50 with CFG
+(2x batched UNet), cond_frames=2, SD-1.5-scale SeerUNet in bf16, 512 px.
+The headline `value` is the **e2e clip** rate — cond-frame VAE encode +
+DDIM loop + per-frame VAE decode, exactly the reference's one-call
+inference path (``/root/reference/utils/ddim_sampling_utils.py:21-42``);
+`latents_only` (FSText + DDIM, no VAE) is reported in `detail` for
+comparison with rounds 1-2.  MFU uses the analytic matmul/conv FLOP count
+(``seervideoldm_tpu/utils/flops.py``) — the standard model-FLOPs numerator,
+NOT pre-optimization HLO cost analysis (round-2's `est_mfu` overcounted).
 """
 from __future__ import annotations
 
@@ -33,12 +36,15 @@ def main() -> None:
     parser.add_argument("--ddim_steps", type=int, default=50)
     parser.add_argument("--batch", type=int, default=1)
     parser.add_argument("--iters", type=int, default=3)
+    parser.add_argument("--skip_e2e", action="store_true",
+                        help="latents-only (rounds 1-2 protocol)")
     args = parser.parse_args()
 
-    from seervideoldm_tpu.diffusion.schedules import DiffusionSchedule
     from seervideoldm_tpu.diffusion.ddim import ddim_sample_loop
+    from seervideoldm_tpu.diffusion.schedules import DiffusionSchedule
     from seervideoldm_tpu.models.fstext import FSTextTransformer
     from seervideoldm_tpu.models.unet3d import SeerUNet
+    from seervideoldm_tpu.models.vae import VAE_SCALE, AutoencoderKL
 
     dtype = jnp.bfloat16
     latent = args.resolution // 8
@@ -48,10 +54,12 @@ def main() -> None:
 
     unet = SeerUNet(dtype=dtype)
     fstext = FSTextTransformer(num_frames=f, dtype=dtype)
+    vae = AutoencoderKL(dtype=dtype)
     rng = jax.random.PRNGKey(0)
     k1, k2, k3, k4 = jax.random.split(rng, 4)
     clip_emb = jax.random.normal(k1, (b, 77, 768), dtype)
-    x0_emb = jax.random.normal(k2, (b, f1, latent, latent, 4), dtype)
+    cond_pixels = jax.random.uniform(k2, (b, f1, args.resolution, args.resolution, 3),
+                                     dtype, -1.0, 1.0)
     x_T = jax.random.normal(k3, (b, f2, latent, latent, 4), dtype)
     # jit the inits at TINY spatial shapes: param shapes don't depend on
     # h/w, and an unjitted full-scale init dispatches thousands of eager
@@ -63,18 +71,20 @@ def main() -> None:
     fstext_params = jax.jit(
         lambda k: fstext.init(k, jnp.zeros((1, 77, 768), dtype))["params"]
     )(k4)
+    vae_params = jax.jit(
+        lambda k: vae.init(k, jnp.zeros((1, 16, 16, 3), dtype), k)["params"]
+    )(k4)
     # production inference: store weights in bf16 (halves HBM weight traffic)
-    unet_params = jax.tree.map(lambda p: p.astype(dtype), unet_params)
-    fstext_params = jax.tree.map(lambda p: p.astype(dtype), fstext_params)
+    cast = lambda t: jax.tree.map(lambda p: p.astype(dtype), t)  # noqa: E731
+    unet_params, fstext_params, vae_params = map(
+        cast, (unet_params, fstext_params, vae_params))
 
     schedule = DiffusionSchedule.create(1000)
     tables = schedule.ddim_tables(args.ddim_steps, eta=0.0)
 
-    def sample(unet_params, fstext_params, x_T, x0_emb, clip_emb):
+    def ddim(unet_params, fstext_params, x_T, x0_emb, clip_emb):
         context = fstext.apply({"params": fstext_params}, clip_emb)
-        uncond = jnp.broadcast_to(
-            clip_emb[:, None], (b, f, *clip_emb.shape[1:])
-        )
+        uncond = jnp.broadcast_to(clip_emb[:, None], (b, f, *clip_emb.shape[1:]))
 
         def unet_apply(x, t, ctx, cf):
             return unet.apply({"params": unet_params}, x, t, ctx, cf)
@@ -84,72 +94,62 @@ def main() -> None:
             uncond_context=uncond, guidance_scale=7.5,
         )
 
-    fn = jax.jit(sample, donate_argnums=(2,))
-    # warmup/compile; a host transfer is the only reliable sync on the
-    # axon loopback relay (block_until_ready returns early there)
-    out = fn(unet_params, fstext_params, x_T, x0_emb, clip_emb)
-    np.asarray(out)
+    def latents_fn(unet_params, fstext_params, vae_params, x_T, cond_pixels,
+                   clip_emb, key):
+        z = vae.apply({"params": vae_params},
+                      cond_pixels.reshape(b * f1, *cond_pixels.shape[2:]), key,
+                      method=vae.encode) * jnp.asarray(VAE_SCALE, dtype)
+        x0_emb = z.reshape(b, f1, latent, latent, 4)
+        return ddim(unet_params, fstext_params, x_T, x0_emb, clip_emb)
 
-    # analytic FLOPs for an MFU estimate: XLA's cost model counts a scan
-    # body ONCE, so lower a single CFG-doubled UNet forward and scale by
-    # the DDIM step count (the FSText/DDIM-update tail is negligible)
-    total_flops = None
-    try:
-        def one_unet_step(unet_params, x, ctx):
-            return unet.apply({"params": unet_params}, x,
-                              jnp.zeros((2 * b,), jnp.int32), ctx, 0)
+    def e2e_fn(unet_params, fstext_params, vae_params, x_T, cond_pixels,
+               clip_emb, key):
+        latents = latents_fn(unet_params, fstext_params, vae_params, x_T,
+                             cond_pixels, clip_emb, key)
+        flat = latents.reshape(b * f2, latent, latent, 4) / jnp.asarray(
+            VAE_SCALE, dtype)
+        frames = vae.apply({"params": vae_params}, flat, method=vae.decode)
+        # clamp to [0, 1] like the reference (ddim_sampling_utils.py:41-42)
+        return jnp.clip((frames + 1.0) / 2.0, 0.0, 1.0)
 
-        # abstract shapes only — and lower for the CPU backend: FLOP counts
-        # are platform-independent and the axon relay's cost_analysis is
-        # unavailable
-        shapes = jax.tree.map(
-            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), unet_params)
-        x_probe = jax.ShapeDtypeStruct((2 * b, f, latent, latent, 4), dtype)
-        ctx_probe = jax.ShapeDtypeStruct((2 * b, f, 77, 768), dtype)
-        import importlib
+    def run(fn, label):
+        jit_fn = jax.jit(fn, donate_argnums=(3,))
+        key = jax.random.PRNGKey(99)
+        # fresh buffer per run(): x_T is donated, so the warmup of the second
+        # benchmarked fn must not reuse the first one's consumed input
+        x_T_w = jax.random.normal(jax.random.PRNGKey(1000), x_T.shape, dtype)
+        out = jit_fn(unet_params, fstext_params, vae_params, x_T_w, cond_pixels,
+                     clip_emb, key)
+        float(out.mean())  # compile + sync (scalar fetch; see below)
+        times = []
+        for i in range(args.iters):
+            x_T_i = jax.random.normal(jax.random.PRNGKey(i + 1), x_T.shape, dtype)
+            np.asarray(x_T_i)  # input upload outside the timer
+            t0 = time.perf_counter()
+            out = jit_fn(unet_params, fstext_params, vae_params, x_T_i,
+                         cond_pixels, clip_emb, key)
+            # sync on a device-reduced SCALAR: waits for the whole
+            # computation but keeps the (tunnel-slow, production-irrelevant)
+            # bulk device->host copy out of the timed region
+            float(out.mean())
+            times.append(time.perf_counter() - t0)
+        return float(np.median(times))
 
-        _fa = importlib.import_module("seervideoldm_tpu.ops.pallas.flash_attention")
-        _sw = importlib.import_module("seervideoldm_tpu.ops.pallas.swat_attention")
-        cpu = jax.devices("cpu")[0]
-        _fa._DISABLE = _sw._DISABLE = True  # einsum path lowers for CPU
-        try:
-            lowered = jax.jit(one_unet_step, device=cpu).lower(
-                shapes, x_probe, ctx_probe)
-        finally:
-            _fa._DISABLE = _sw._DISABLE = False
-        cost = lowered.cost_analysis()  # pre-optimization, no compile
-        if cost:
-            step_flops = float(cost.get("flops", 0.0))
-            total_flops = step_flops * args.ddim_steps or None
-    except Exception as exc:
-        import sys
+    from seervideoldm_tpu.utils.flops import sampling_clip_flops
 
-        print(f"cost analysis unavailable: {exc!r}", file=sys.stderr, flush=True)
+    flops = sampling_clip_flops(b, f, f1, args.resolution, args.ddim_steps,
+                                cfg=True, include_vae=True)
     peak_flops = {"TPU v5 lite": 197e12, "TPU v5": 459e12,
                   "TPU v4": 275e12, "TPU v6 lite": 918e12}
     kind = jax.devices()[0].device_kind
     peak = next((v for k, v in peak_flops.items() if kind.startswith(k)), None)
-
-    times = []
-    copy_s = float("nan")
-    for i in range(args.iters):
-        x_T_i = jax.random.normal(jax.random.PRNGKey(i + 1), x_T.shape, dtype)
-        np.asarray(x_T_i)  # ensure input upload is not inside the timer
-        t0 = time.perf_counter()
-        out = fn(unet_params, fstext_params, x_T_i, x0_emb, clip_emb)
-        # sync on a device-reduced SCALAR: waits for the whole computation
-        # but keeps the (tunnel-slow, production-irrelevant) bulk
-        # device->host copy of the latents out of the timed region
-        float(out.mean())
-        times.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        np.asarray(out)
-        copy_s = time.perf_counter() - t0  # measured separately, reported
-
-    dt = float(np.median(times))
-    frames_per_sec = b * f2 / dt
     n_chips = jax.device_count()
-    value = frames_per_sec / n_chips
+
+    dt_lat = run(latents_fn, "latents")
+    dt_e2e = dt_lat if args.skip_e2e else run(e2e_fn, "e2e")
+    del run
+    dt = dt_e2e
+    value = b * f2 / dt / n_chips
 
     baseline = None
     try:
@@ -166,14 +166,23 @@ def main() -> None:
         "unit": "frames/s/chip",
         "vs_baseline": round(vs_baseline, 4),
         "detail": {
+            "protocol": "e2e clip (VAE encode + DDIM + VAE decode)"
+                        if not args.skip_e2e else "latents only",
             "resolution": args.resolution, "num_frames": f,
-            "ddim_steps": args.ddim_steps, "clip_latency_s": round(dt, 4),
+            "ddim_steps": args.ddim_steps,
+            "e2e_clip_latency_s": round(dt_e2e, 4),
+            "latents_only_latency_s": round(dt_lat, 4),
+            "latents_only_frames_per_sec_per_chip": round(
+                b * f2 / dt_lat / n_chips, 4),
             "chips": n_chips,
-            "device_to_host_copy_s": round(copy_s, 4),
-            "est_mfu": (round(total_flops / dt / peak, 4)
-                        if total_flops and peak else None),
-            "total_tflops": (round(total_flops / 1e12, 1)
-                             if total_flops else None),
+            "est_mfu": (round(flops["e2e_total"] / dt_e2e / peak, 4)
+                        if peak and not args.skip_e2e else
+                        round(flops["ddim_total"] / dt_lat / peak, 4)
+                        if peak else None),
+            "est_mfu_latents": (round(flops["ddim_total"] / dt_lat / peak, 4)
+                                if peak else None),
+            "total_tflops_e2e": round(flops["e2e_total"] / 1e12, 1),
+            "flops_method": "analytic matmul/conv count (utils/flops.py)",
         },
     }))
 

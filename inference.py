@@ -52,7 +52,13 @@ def main() -> None:
                         shard_index=jax.process_index(), num_shards=jax.process_count())
 
     it = itertools.cycle(iter(loader))
-    for i_ter in range(cfg.sample_iter):
+    try:
+        from tqdm.auto import tqdm
+
+        iters = tqdm(range(cfg.sample_iter), desc="sampling", dynamic_ncols=True)
+    except Exception:
+        iters = range(cfg.sample_iter)
+    for i_ter in iters:
         videos, prompts = next(it)
         video = jnp.asarray(videos)  # (b, f, h, w, 3) in [-1, 1]
         cond = video[:, : cfg.cond_frames]

@@ -19,6 +19,15 @@ Semantics preserved from the reference ``p_sample_ddim``:
   temporal-FF cond-frame skip is active only in training.  Exposed here for
   callers that want the "fixed" behavior.
 
+Deliberately not rebuilt: the reference's two-call CFG branch for
+*unequal* uncond/cond context frame counts (``ddim_video.py:205-207``,
+taken only when ``uncond.shape[1] != cond.shape[1]``).  Every reference
+entry point expands the uncond embedding to the same frame count before
+sampling (``inference.py:193-194``, ``eval.py``), so that branch is dead in
+practice; here ``uncond_context`` must match ``context``'s frame count (the
+pipeline guarantees it), keeping CFG a single batched UNet call inside the
+scan.
+
 Layout: channels-last latents ``(b, f, h, w, c)``.
 """
 from __future__ import annotations

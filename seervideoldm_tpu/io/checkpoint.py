@@ -62,6 +62,20 @@ class CheckpointManager:
     def restore_params(self, step_dir: str, template: Any) -> Any:
         return self._ckptr.restore(os.path.join(step_dir, "params"), template)
 
+    @staticmethod
+    def restore_numpy(path: str) -> Any:
+        """Restore any checkpoint subtree as host numpy arrays, ignoring the
+        device topology it was saved under — a checkpoint written by an
+        N-process run is readable anywhere (weight export, inspection,
+        cross-topology resume templates)."""
+        import jax
+        import numpy as np
+
+        ckptr = ocp.PyTreeCheckpointer()
+        meta = ckptr.metadata(path).item_metadata
+        return ckptr.restore(path, restore_args=jax.tree.map(
+            lambda m: ocp.RestoreArgs(restore_type=np.ndarray), meta.tree))
+
     def latest_step(self) -> Optional[int]:
         dirs = _step_dirs(self.output_dir)
         return dirs[-1][0] if dirs else None

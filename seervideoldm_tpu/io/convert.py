@@ -87,17 +87,29 @@ def torch_to_flax(
     target_params: Mapping[str, Any],
     strict: bool = True,
     rename: list[tuple[str, str]] | None = None,
+    materialize: bool = True,
 ) -> tuple[dict, list[str], list[str]]:
     """Map a torch state dict onto an existing flax param tree's structure.
 
     Returns (new_tree_with_loaded_values, missing_torch_keys, unmatched_flax_paths).
-    Values keep the target leaf's dtype.
+    Values keep the target leaf's dtype.  With ``materialize=False`` no
+    values are converted — targets may be ``jax.ShapeDtypeStruct``s and the
+    new tree holds shapes only (full-scale name-mapping audits without
+    allocating gigabytes; see tests/test_convert_manifest.py).
+
+    ``rotary_emb.freqs`` buffers are skipped: rotary-embedding-torch 0.1.5
+    (the reference pin) registers the deterministic inverse-frequency table
+    as a persistent buffer, so real Seer checkpoints carry one per temporal
+    attention — our rotary tables are computed analytically from the same
+    ``theta=10000`` formula (``ops/rotary.py``) and have no parameter.
     """
     import jax.numpy as jnp
 
     new_tree: dict = {}
     missing: list[str] = []
     for name, value in state_dict.items():
+        if name.endswith("rotary_emb.freqs"):
+            continue
         for pat, repl in rename or []:
             name = re.sub(pat, repl, name)
         parts = _normalize_path(name)
@@ -107,7 +119,11 @@ def torch_to_flax(
             for path, transformed in _candidates(dirs + extra, leaf, value):
                 target = _tree_get(target_params, path)
                 if target is not None and tuple(target.shape) == tuple(transformed.shape):
-                    _tree_set(new_tree, path, jnp.asarray(transformed, dtype=target.dtype))
+                    _tree_set(
+                        new_tree, path,
+                        jnp.asarray(transformed, dtype=target.dtype)
+                        if materialize else tuple(transformed.shape),
+                    )
                     placed = True
                     break
             if placed:

@@ -66,6 +66,7 @@ class BasicTextTransformerBlock3D(nn.Module):
     d_head: int
     context_dim: Optional[int] = None
     collect_attn: bool = False  # sow cross-attn maps (reference return_attn)
+    attention_slice: Optional[int] = None  # reference set_attention_slice
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -76,7 +77,8 @@ class BasicTextTransformerBlock3D(nn.Module):
         x = x.reshape(b * f, h * w, c)
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         x = CrossAttention(
-            query_dim=self.dim, heads=self.n_heads, dim_head=self.d_head, name="attn1", **kw
+            query_dim=self.dim, heads=self.n_heads, dim_head=self.d_head,
+            attention_slice=self.attention_slice, name="attn1", **kw
         )(LayerNorm(param_dtype=self.param_dtype, name="norm1")(x)) + x
         if context is not None:
             d = context.shape[-1]
@@ -87,6 +89,7 @@ class BasicTextTransformerBlock3D(nn.Module):
                 heads=self.n_heads,
                 dim_head=self.d_head,
                 collect_attn=self.collect_attn,
+                attention_slice=self.attention_slice,
                 name="attn2",
                 **kw,
             )(LayerNorm(param_dtype=self.param_dtype, name="norm2")(x), context=ctx) + x
@@ -181,6 +184,7 @@ class SpatialTransformer3D(nn.Module):
     cond_frame: int = 0
     norm_num_groups: int = 32  # reference hardcodes 32 (attention.py:109)
     collect_attn: bool = False
+    attention_slice: Optional[int] = None  # reference set_attention_slice
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -202,6 +206,7 @@ class SpatialTransformer3D(nn.Module):
                 x = BasicTextTransformerBlock3D(
                     inner_dim, self.n_heads, self.d_head,
                     context_dim=self.context_dim, collect_attn=self.collect_attn,
+                    attention_slice=self.attention_slice,
                     name=f"transformer_blocks_{d}", **kw,
                 )(x, context=context)
             else:

@@ -21,7 +21,7 @@ Layout: channels-last. ``sample`` is ``(b, f, h, w, c)``; use
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Sequence
+from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -52,6 +52,10 @@ class SeerUNetConfig:
     norm_eps: float = 1e-5
     cross_attention_dim: int = 768
     attention_head_dim: int = 8
+    # reference set_attention_slice(slice_size) (unet_3d_condition.py:214-277):
+    # compute spatial/text attention in `attention_slice`-head chunks.  A
+    # construction-time config here (functional flax) instead of a mutator.
+    attention_slice: Optional[int] = None
 
 
 SEER_UNET_SD15_CONFIG = SeerUNetConfig()
@@ -134,6 +138,7 @@ class SeerUNet(nn.Module):
                     downsample_padding=cfg.downsample_padding,
                     add_downsample=True, text_frame_condition=True, causal=True,
                     cond_frame=cond_frame, collect_attn=self.collect_attn,
+                    attention_slice=cfg.attention_slice,
                     name=f"down_blocks_{i}", **kw,
                 )(sample, temb=emb, encoder_hidden_states=context)
             else:
@@ -153,7 +158,8 @@ class SeerUNet(nn.Module):
             attn_num_head_channels=cfg.attention_head_dim,
             cross_attention_dim=cfg.cross_attention_dim,
             text_frame_condition=True, causal=True, cond_frame=cond_frame,
-            collect_attn=self.collect_attn, name="mid_block", **kw,
+            collect_attn=self.collect_attn, attention_slice=cfg.attention_slice,
+            name="mid_block", **kw,
         )(sample, temb=emb, encoder_hidden_states=context)
 
         # --- up ---
@@ -185,6 +191,7 @@ class SeerUNet(nn.Module):
                     cross_attention_dim=cfg.cross_attention_dim,
                     add_upsample=not is_final, text_frame_condition=True, causal=True,
                     cond_frame=cond_frame, collect_attn=self.collect_attn,
+                    attention_slice=cfg.attention_slice,
                     name=f"up_blocks_{i}", **kw,
                 )(sample, res_samples, temb=emb, encoder_hidden_states=context)
 

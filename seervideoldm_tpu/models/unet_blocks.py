@@ -13,6 +13,8 @@ checkpointing when ``remat=True``.
 from __future__ import annotations
 
 
+from typing import Optional
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -35,6 +37,7 @@ class CrossAttnDownBlock3D(nn.Module):
     causal: bool = True
     cond_frame: int = 0
     collect_attn: bool = False
+    attention_slice: Optional[int] = None  # reference set_attention_slice
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -56,6 +59,7 @@ class CrossAttnDownBlock3D(nn.Module):
                 text_frame_condition=self.text_frame_condition,
                 norm_num_groups=self.resnet_groups,
                 collect_attn=self.collect_attn,
+                attention_slice=self.attention_slice,
                 name=f"attentions_{i}", **kw,
             )(hidden_states, context=encoder_hidden_states)
             hidden_states = SpatialTransformer3D(
@@ -119,6 +123,7 @@ class UNetMidBlock3DCrossAttn(nn.Module):
     causal: bool = True
     cond_frame: int = 0
     collect_attn: bool = False
+    attention_slice: Optional[int] = None  # reference set_attention_slice
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -139,6 +144,7 @@ class UNetMidBlock3DCrossAttn(nn.Module):
                 text_frame_condition=self.text_frame_condition,
                 norm_num_groups=self.resnet_groups,
                 collect_attn=self.collect_attn,
+                attention_slice=self.attention_slice,
                 name=f"attentions_{i}", **kw,
             )(hidden_states, context=encoder_hidden_states)
             hidden_states = SpatialTransformer3D(
@@ -168,6 +174,7 @@ class CrossAttnUpBlock3D(nn.Module):
     causal: bool = True
     cond_frame: int = 0
     collect_attn: bool = False
+    attention_slice: Optional[int] = None  # reference set_attention_slice
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -197,6 +204,7 @@ class CrossAttnUpBlock3D(nn.Module):
                 text_frame_condition=self.text_frame_condition,
                 norm_num_groups=self.resnet_groups,
                 collect_attn=self.collect_attn,
+                attention_slice=self.attention_slice,
                 name=f"attentions_{i}", **kw,
             )(hidden_states, context=encoder_hidden_states)
             hidden_states = SpatialTransformer3D(

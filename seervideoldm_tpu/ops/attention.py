@@ -59,11 +59,16 @@ def dot_product_attention(
     if use_flash and mask is None:
         from .pallas.flash_attention import flash_attention, flash_attention_available
 
-        # flash pays off only at long sequences: measured on v5e, flash wins
-        # ~1.8x at seq>=1024 but LOSES ~2x at seq=256 (per-program overhead
-        # vs one fat XLA batched matmul); rectangular-causal (tril(m-n))
-        # stays on the einsum path
-        if flash_attention_available() and n >= 512 and (not causal or n == m):
+        # flash pays off only when BOTH sides are long: measured on v5e,
+        # flash wins self-attn at seq>=1024 (14.4 vs 17.4 ms at the 512px L0
+        # shape) but LOSES at short q (seq=256, ~2x) AND at tiny kv — the
+        # 77-token text cross-attention runs 2.31 ms (einsum) vs 2.87
+        # (flash) at seq 4096/d40 and 1.55 vs 2.77 at seq 1024/d80: one fat
+        # batched matmul beats per-(batch*head) kernel programs when the
+        # score block is skinny (tools/microbench_crossattn.py).
+        # Rectangular-causal (tril(m-n)) stays on the einsum path.
+        if (flash_attention_available() and n >= 512 and m >= 512
+                and (not causal or n == m)):
             return flash_attention(q, k, v, scale, causal)
     if causal and mask is None:
         mask = causal_mask(n, m)
@@ -135,6 +140,10 @@ class CrossAttention(nn.Module):
     causal: bool = False
     inp_dim: Optional[int] = None  # FSText vision-projection variant (attention.py:341-344)
     collect_attn: bool = False  # sow attention maps (reference return_attn)
+    # reference set_attention_slice (unet_3d_condition.py:214-277): compute
+    # attention in `attention_slice`-head chunks.  On TPU the flash kernel
+    # already bounds memory, so this is API parity for the einsum path.
+    attention_slice: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -189,6 +198,9 @@ class CrossAttention(nn.Module):
             self.sow("intermediates", "attn", logits)
             probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
             out = jnp.einsum("...nm,...md->...nd", probs, v)
+        elif self.attention_slice and mask is None:
+            out = sliced_attention(q, k, v, scale, self.attention_slice,
+                                   causal=causal)
         else:
             out = dot_product_attention(q, k, v, scale, mask=mask, causal=causal)
         out = _merge_heads(out)

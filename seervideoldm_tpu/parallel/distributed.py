@@ -32,6 +32,7 @@ def initialize_distributed() -> None:
     except Exception:
         pass
     coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    initialized = False
     try:
         if coord:
             jax.distributed.initialize(
@@ -39,13 +40,43 @@ def initialize_distributed() -> None:
                 num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
                 process_id=int(os.environ["JAX_PROCESS_ID"]),
             )
+            initialized = True
         elif os.environ.get("TPU_WORKER_HOSTNAMES") and os.environ.get(
             "MEGASCALE_COORDINATOR_ADDRESS"
         ):
             jax.distributed.initialize()
+            initialized = True
     except RuntimeError as exc:
         if "already" not in str(exc):  # double-init is benign; else re-raise
             raise
+    # NOTE: jax_share_binary_between_hosts is deliberately NOT enabled.  Its
+    # compile-on-rank-0-and-publish rendezvous deadlocks when the persistent
+    # compile cache hits on one rank but misses on another (the hitting rank
+    # never publishes; the missing rank blocks on the KV get forever —
+    # observed on this exact train loop).  Rank skew at the first collective
+    # is handled instead by AOT-compile + barrier (trainer.compile_aligned).
+
+
+def barrier_sync(name: str, timeout_ms: int = 1_200_000) -> None:
+    """Host-level barrier over the coordination service (no device collective).
+
+    XLA's CPU Gloo backend gives each *new* communicator a hard 30 s
+    rendezvous window at its first execution; ranks entering the first
+    collective minutes apart (e.g. skewed trace/compile) kill the run.  A
+    coordination-service barrier has a configurable timeout and no device
+    involvement — use it to phase-lock ranks between compile and the first
+    execution.  No-op for single-process runs.
+    """
+    if jax.process_count() == 1:
+        return
+    try:
+        from jax._src import distributed as _dist
+
+        client = getattr(_dist.global_state, "client", None)
+    except Exception:
+        client = None
+    if client is not None:
+        client.wait_at_barrier(name, timeout_in_ms=timeout_ms)
 
 
 def gather_across_hosts(x) -> "np.ndarray":

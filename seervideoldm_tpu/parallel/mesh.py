@@ -16,15 +16,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def create_mesh(shape: Optional[dict[str, int]] = None) -> Mesh:
-    """shape e.g. {"data": 8} or {"data": 4, "model": 2}; default all->data."""
+    """shape e.g. {"data": 8} or {"data": 4, "model": 2}; default all->data.
+
+    An explicit shape smaller than the device count uses the first
+    ``prod(shape)`` devices (debug runs, per-host submeshes); a shape larger
+    than the device count is an error.
+    """
     devices = jax.devices()
     if not shape:
         shape = {"data": len(devices)}
     axis_names = tuple(shape.keys())
     dims = tuple(shape.values())
-    if int(np.prod(dims)) != len(devices):
+    n = int(np.prod(dims))
+    if n > len(devices):
         raise ValueError(f"mesh {shape} does not match {len(devices)} devices")
-    return Mesh(np.asarray(devices).reshape(dims), axis_names)
+    return Mesh(np.asarray(devices[:n]).reshape(dims), axis_names)
 
 
 def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
@@ -34,3 +40,40 @@ def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
 
 def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def global_batch_array(mesh: Mesh, local) -> jax.Array:
+    """Form the GLOBAL batch array from this process's local batch shard.
+
+    Single-controller (1 process): a plain sharded ``device_put``.
+    Multi-controller: every process passes its own loader shard and gets
+    back one global ``jax.Array`` of shape ``(local_batch · num_processes,
+    ...)`` sharded over the ``data`` axis — the JAX equivalent of DDP's
+    per-rank DataLoader feeding (reference ``train.py:247-249,265-267``).
+    A host-local ``device_put`` here would be undefined for >1 process
+    (every process would claim to own the whole batch).
+    """
+    local = np.asarray(local)
+    sharding = batch_sharding(mesh, local.ndim)
+    if jax.process_count() == 1:
+        return jax.device_put(local, sharding)
+    return jax.make_array_from_process_local_data(sharding, local)
+
+
+def replicate_global(mesh: Mesh, tree):
+    """Replicate a host-local pytree onto the (possibly multi-process) mesh.
+
+    Every process must call this with identical values (guaranteed here by
+    seeded init).  For >1 process a plain ``device_put`` onto a
+    non-addressable sharding is not portable; building the global array from
+    process-local data is.
+    """
+    sharding = replicate(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sharding)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)
+        ),
+        tree,
+    )

@@ -190,5 +190,22 @@ def make_train_step(
         # until the compile never finishes (the round-1 blocker).
         return _train_step(state, batch, rng, frozen)
 
+    def compile_aligned(state: TrainState, batch: dict, rng) -> Callable:
+        """AOT-compile the step, then barrier all processes before the first
+        execution.  The first run of a multi-process executable opens its
+        Gloo/ICI communicators with a bounded rendezvous window (30 s on the
+        CPU Gloo backend); per-rank trace+compile skew easily exceeds that,
+        so compile first on every rank, sync, then execute."""
+        compiled = _train_step.lower(state, batch, rng, frozen_params).compile()
+        from ..parallel.distributed import barrier_sync
+
+        barrier_sync("train_step_compiled")
+
+        def run(state: TrainState, batch: dict, rng) -> tuple:
+            return compiled(state, batch, rng, frozen_params)
+
+        return run
+
     train_step.jitted = _train_step  # for lower()/compile probes
+    train_step.compile_aligned = compile_aligned
     return train_step

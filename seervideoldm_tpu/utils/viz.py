@@ -68,14 +68,28 @@ def save_visualization(
         stacked = np.concatenate(list(vid), axis=2)  # (f, h, b*w, 3)
         video_to_gif(stacked, os.path.join(results_folder, f"{name}-{global_step}.gif"))
 
-    # PNG grid: one row per (row-kind, batch element), frames along columns
+    # PNG grid, reference layout (utils/ddim_sampling_utils.py:73-92): one
+    # panel per batch element — [cond frames | GREEN separator |
+    # gt/recon/sample rows stacked | RED separator], grey padding between
+    # panels.  Green marks the conditioning input, red the panel end.
+    def _strip(frames: np.ndarray) -> np.ndarray:
+        """(f, h, w, 3) -> (h+4, f*(w+4), 3) with 2px border per frame."""
+        return np.concatenate(list(_pad(frames)), axis=1)
+
     panels = []
-    for _, vid in rows:
-        for b in range(vid.shape[0]):
-            frames = vid[b]
-            if cond is not None:
-                frames = np.concatenate([cond[b], frames], axis=0)
-            panels.append(np.concatenate(list(_pad(frames)), axis=1))
+    for b in range(samples.shape[0]):
+        stack = np.concatenate([_strip(vid[b]) for _, vid in rows], axis=0)
+        parts = []
+        if cond is not None:
+            cond_rep = np.tile(_strip(cond[b]), (len(rows), 1, 1))
+            green = np.zeros((stack.shape[0], 4, 3), dtype=stack.dtype)
+            green[:, :, 1] = 1.0
+            parts += [cond_rep, green]
+        red = np.zeros((stack.shape[0], 4, 3), dtype=stack.dtype)
+        red[:, :, 0] = 1.0
+        parts += [stack, red]
+        panel = np.concatenate(parts, axis=1)
+        panels.append(np.pad(panel, ((3, 3), (3, 3), (0, 0)), constant_values=0.5))
     grid = np.concatenate(panels, axis=0)
     Image.fromarray(_to_uint8(grid[None])[0]).save(
         os.path.join(results_folder, f"grid-{global_step}.png")

@@ -66,7 +66,9 @@ def test_i3d_forward_shape():
     from seervideoldm_tpu.evaluation.i3d import InceptionI3d
 
     i3d = InceptionI3d()
-    x = jnp.zeros((1, 8, 224, 224, 3))
+    # 64px: spatial pools reduce /32 -> 2x2, exercising every layer at a
+    # fraction of the 224px compile/run cost (suite budget, VERDICT r2 #7)
+    x = jnp.zeros((1, 8, 64, 64, 3))
     params = i3d.init(jax.random.PRNGKey(0), x)
     n_params = sum(p.size for p in jax.tree.leaves(params))
     assert n_params > 12_000_000  # I3D Kinetics-400 has ~12.7M params

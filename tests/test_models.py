@@ -147,3 +147,25 @@ def test_seer_unet_tiny_forward(cond_frame):
     out = unet.apply(params, sample, ts, ctx, cond_frame)
     assert out.shape == (b, f, h, w, 4)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_attention_slice_matches_unsliced():
+    """Model-level set_attention_slice parity knob
+    (reference unet_3d_condition.py:214-277): sliced attention must be a
+    pure memory/scheduling choice, never a numerics change."""
+    import jax.random as jr
+
+    from seervideoldm_tpu.models.unet3d import SeerUNet, SeerUNetConfig
+
+    base = dict(block_out_channels=(32, 64), layers_per_block=1,
+                norm_num_groups=8, cross_attention_dim=32, attention_head_dim=4)
+    cfg_sliced = SeerUNetConfig(**base, attention_slice=2)
+    cfg_plain = SeerUNetConfig(**base)
+    x = jr.normal(jr.PRNGKey(1), (1, 4, 8, 8, 4))
+    ctx = jr.normal(jr.PRNGKey(2), (1, 4, 77, 32))
+    t = jnp.zeros((1,), jnp.int32)
+    params = SeerUNet(config=cfg_plain).init(jr.PRNGKey(0), x, t, ctx, 0)
+    out_plain = SeerUNet(config=cfg_plain).apply(params, x, t, ctx, 0)
+    out_sliced = SeerUNet(config=cfg_sliced).apply(params, x, t, ctx, 0)
+    np.testing.assert_allclose(np.asarray(out_sliced), np.asarray(out_plain),
+                               atol=2e-5)

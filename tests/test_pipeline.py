@@ -46,6 +46,7 @@ def test_generate_end_to_end(tiny_models):
     assert np.isfinite(out).all() and out.min() >= 0.0 and out.max() <= 1.0
 
 
+@pytest.mark.slow
 def test_generate_no_cfg_single_unet_batch(tiny_models):
     pipe = SeerPipeline(tiny_models)
     cond = jnp.zeros((1, 1, 16, 16, 3))
@@ -66,14 +67,14 @@ def test_train_step_data_parallel(tiny_models):
         TrainState, make_train_step, prepare_batch_fn,
     )
 
-    mesh = create_mesh({"data": 8})
+    mesh = create_mesh({"data": 2})
     models = tiny_models
     params = {"unet": models.unet_params, "fstext": models.fstext_params}
     tx, _ = build_optimizer(params, 1e-3, warmup_steps=1, total_steps=100)
     state = TrainState.create(params, tx)
     train_step = make_train_step(models, tx, cond_frames=1)
 
-    b, f, res = 8, 4, 16
+    b, f, res = 4, 4, 16
     rng = np.random.RandomState(0)
     video = jnp.asarray(rng.randn(b, f, res, res, 3).astype(np.float32))
     ids = jnp.ones((b, 16), jnp.int32)
@@ -156,9 +157,9 @@ def test_sharded_sampling_over_data_mesh(tiny_models):
     """Batch sharded over 8 devices: sampling compiles and preserves sharding."""
     from seervideoldm_tpu.parallel.mesh import create_mesh
 
-    mesh = create_mesh({"data": 8})
+    mesh = create_mesh({"data": 4})
     pipe = SeerPipeline(tiny_models, mesh=mesh)
-    b = 8
+    b = 4
     cond = jnp.zeros((b, 1, 16, 16, 3))
     ids = np.ones((b, 16), dtype=np.int32)
     mask = np.ones((b, 16), dtype=np.int32)

@@ -23,8 +23,12 @@ import numpy as np
 from seervideoldm_tpu.config import parse_args
 from seervideoldm_tpu.data import DataLoader, build_dataset
 from seervideoldm_tpu.io.checkpoint import CheckpointManager
-from seervideoldm_tpu.parallel.distributed import initialize_distributed
-from seervideoldm_tpu.parallel.mesh import batch_sharding, create_mesh, replicate
+from seervideoldm_tpu.parallel.distributed import initialize_distributed, is_main_process
+from seervideoldm_tpu.parallel.mesh import (
+    create_mesh,
+    global_batch_array,
+    replicate_global,
+)
 from seervideoldm_tpu.pipelines.loading import load_models
 from seervideoldm_tpu.training.meters import RunningAverageMeter
 from seervideoldm_tpu.training.optim import build_optimizer
@@ -106,12 +110,17 @@ def main() -> None:
         use_8bit=bool(cfg.use_8bit_adam),
     )
     state = TrainState.create(trainable, tx)
-    state = jax.device_put(state, replicate(mesh))
+    state = replicate_global(mesh, state)
     if cfg.get("frozen_params_bf16"):
         # halve frozen-weight memory (quality impact negligible: frozen
         # weights are used in bf16 compute anyway)
         frozen = jax.tree.map(lambda p: p.astype(jnp.bfloat16), frozen)
-    frozen = jax.device_put(frozen, replicate(mesh))
+    frozen = replicate_global(mesh, frozen)
+    # frozen VAE/CLIP weights feed the jitted prepare(): they must be global
+    # (replicated) arrays too, or multi-process jit rejects the mix of
+    # global batch inputs and process-local params
+    models.clip_params = replicate_global(mesh, models.clip_params)
+    models.vae_params = replicate_global(mesh, models.vae_params)
     train_step = make_train_step(
         models, tx, cond_frames=cfg.cond_frames,
         text_loss=bool(cfg.text_loss), frozen_params=frozen,
@@ -162,7 +171,19 @@ def main() -> None:
     # shared stream the ε target equals the posterior noise embedded in the
     # input latents, leaking the regression target into the model input.
     prep_rng, step_rng = jax.random.split(jax.random.PRNGKey(cfg.seed + 1))
+    step_rng_np = np.asarray(step_rng)  # host copy; fold_in happens in-jit
     step_time = time.time()
+    compiled_step = None
+    # reference tqdm over optimizer steps (train.py:313); rank-0 only
+    progress = None
+    try:
+        from tqdm.auto import tqdm
+
+        if is_main_process():
+            progress = tqdm(total=cfg.max_train_steps, initial=global_step,
+                            desc="steps", dynamic_ncols=True)
+    except Exception:
+        pass
     pending_losses: list = []
     window_losses: list = []  # per-micro-step losses in the current accum window
     accum = max(1, cfg.gradient_accumulation_steps)
@@ -190,21 +211,34 @@ def main() -> None:
         loader.set_epoch(epoch, skip_batches=resume_skip if epoch == start_epoch else 0)
         for videos, prompts in loader:
             tok = tokenizer(prompts)
-            videos = jax.device_put(
-                jnp.asarray(videos), batch_sharding(mesh, videos.ndim)
-            )
-            k_prep = jax.random.fold_in(prep_rng, micro_step)
-            batch = prepare(
-                videos, jnp.asarray(tok["input_ids"]),
-                jnp.asarray(tok["attention_mask"]), k_prep, cond_frames=cfg.cond_frames,
-            )
-            state, metrics = train_step(state, batch, step_rng)
+            # every process feeds its own loader shard; the result is ONE
+            # global batch array sharded over the data axis (the reference's
+            # per-rank DataLoader + DDP, train.py:247-249,265-267)
+            videos = global_batch_array(mesh, videos)
+            ids = global_batch_array(mesh, tok["input_ids"])
+            mask = global_batch_array(mesh, tok["attention_mask"])
+            # keys go in as host numpy (identical on every process): a
+            # committed process-local device array cannot mix with global
+            # inputs under multi-process jit
+            k_prep = np.asarray(jax.random.fold_in(prep_rng, micro_step))
+            batch = prepare(videos, ids, mask, k_prep, cond_frames=cfg.cond_frames)
+            if compiled_step is None:
+                # multi-process: compile on every rank FIRST, barrier, then
+                # execute — the first collective's rendezvous window is much
+                # shorter than trace/compile skew between ranks
+                compiled_step = (
+                    train_step.compile_aligned(state, batch, step_rng_np)
+                    if jax.process_count() > 1 else train_step
+                )
+            state, metrics = compiled_step(state, batch, step_rng_np)
             micro_step += 1
             window_losses.append(metrics["loss"])
             if micro_step % accum != 0:
                 continue
             # global_step counts optimizer (sync) steps, reference parity
             global_step += 1
+            if progress is not None:
+                progress.update(1)
             # mean loss over the whole accumulation window (all micro steps),
             # not just the sync micro-step's loss
             window_mean = (
@@ -231,23 +265,34 @@ def main() -> None:
                 step_time = time.time()
                 print(f"step {global_step} loss {loss:.4f} lr {lr:.2e} "
                       f"{dt * 1000:.0f} ms/step")
-            if global_step % cfg.save_steps == 0 and jax.process_index() == 0:
+            if global_step % cfg.save_steps == 0:
+                # the Orbax save is COLLECTIVE: every process participates
+                # (each writes the shards it owns; Orbax coordinates the
+                # commit).  Gating it on rank 0 would deadlock a
+                # multi-controller save of global arrays.  Only the JSON
+                # sidecar and plots are host-side rank-0 I/O.
+                from seervideoldm_tpu.parallel.distributed import barrier_sync
+
+                barrier_sync(f"save_{global_step}")
                 full = combine_params(state.params, frozen)
                 ckpt.save(global_step, state,
                           params={"unet": full["unet"], "fstext": full["fstext"]})
-                import json
+                if is_main_process():
+                    import json
 
-                with open(os.path.join(
-                        cfg.output_dir,
-                        f"learned_sdunet-steps-{global_step}.json"), "w") as f:
-                    json.dump({"epoch": epoch, "global_step": global_step,
-                               "lr_meter": lr_meter.ckpt(),
-                               "losses_train": losses_train.ckpt()}, f)
-                plot_graphs(losses_train, lr_meter, cfg.output_dir)
+                    with open(os.path.join(
+                            cfg.output_dir,
+                            f"learned_sdunet-steps-{global_step}.json"), "w") as f:
+                        json.dump({"epoch": epoch, "global_step": global_step,
+                                   "lr_meter": lr_meter.ckpt(),
+                                   "losses_train": losses_train.ckpt()}, f)
+                    plot_graphs(losses_train, lr_meter, cfg.output_dir)
             if global_step >= cfg.max_train_steps:
                 break
         if global_step >= cfg.max_train_steps:
             break
+    if progress is not None:
+        progress.close()
     ckpt.wait()
 
 
