@@ -130,20 +130,54 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool,
 
             q = rotate(window(chunk_q)).astype(chunk_q.dtype)
             k = rotate(window(chunk_k)).astype(chunk_k.dtype)
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scale
-            if causal:
-                s = jnp.where(tril, s, NEG_INF)
-            # unnormalized exp; normalize AFTER p@v on (tokens, d) lanes
-            m = jnp.max(s, axis=-1, keepdims=True)
-            e = jnp.exp(s - m)
-            l = jnp.sum(e, axis=-1, keepdims=True)
-            out = jax.lax.dot_general(
-                e.astype(chunk_v.dtype), window(chunk_v), (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) / l
+            v_win = window(chunk_v)
+
+            def softmax_pv(s, vis_v):
+                m = jnp.max(s, axis=-1, keepdims=True)
+                e = jnp.exp(s - m)
+                l = jnp.sum(e, axis=-1, keepdims=True)
+                # unnormalized exp; normalize AFTER p@v on the d lanes
+                return jax.lax.dot_general(
+                    e.astype(vis_v.dtype), vis_v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) / l
+
+            if causal and f > 1:
+                # Causal frame-block decomposition: frame-row group g only
+                # attends tokens < its end, so compute S over the visible
+                # prefix instead of the full (tokens, tokens) square and
+                # skip the masked upper half entirely — 2x fewer matmul
+                # passes and exp/mask lanes at f=12 (tril is f-major:
+                # whole past frames fully visible, tril inside the group).
+                gsz = max(1, 128 // (ws * ws))  # rows per group ~128
+                group_outs = []
+                start = 0
+                while start < f:
+                    gf = min(gsz, f - start)
+                    row0 = start * ws * ws
+                    rows_n = gf * ws * ws
+                    ncols = row0 + rows_n
+                    s = jax.lax.dot_general(
+                        q[row0 : row0 + rows_n], k[:ncols],
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ) * scale
+                    rg = row0 + jax.lax.broadcasted_iota(
+                        jnp.int32, (rows_n, ncols), 0)
+                    cg = jax.lax.broadcasted_iota(
+                        jnp.int32, (rows_n, ncols), 1)
+                    s = jnp.where(cg <= rg, s, NEG_INF)
+                    group_outs.append(softmax_pv(s, v_win[:ncols]))
+                    start += gf
+                out = jnp.concatenate(group_outs, axis=0)
+            else:
+                s = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * scale
+                if causal:
+                    s = jnp.where(tril, s, NEG_INF)
+                out = softmax_pv(s, v_win)
             outs.append(out.reshape(f, ws, ws, d_pad))
         merged = jnp.concatenate(outs, axis=2) if len(outs) > 1 else outs[0]
         o_ref[0, :, :, pl.ds(c * sw, sw), :] = merged.astype(o_ref.dtype)

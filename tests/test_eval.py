@@ -66,13 +66,14 @@ def test_i3d_forward_shape():
     from seervideoldm_tpu.evaluation.i3d import InceptionI3d
 
     i3d = InceptionI3d()
-    # 64px: spatial pools reduce /32 -> 2x2, exercising every layer at a
-    # fraction of the 224px compile/run cost (suite budget, VERDICT r2 #7)
-    x = jnp.zeros((1, 8, 64, 64, 3))
-    params = i3d.init(jax.random.PRNGKey(0), x)
-    n_params = sum(p.size for p in jax.tree.leaves(params))
+    # abstract-only: shapes/param-count via eval_shape, zero compile/compute
+    # (the 224px numeric path is covered by the FVD golden-parity tests;
+    # suite budget, VERDICT r2 #7)
+    x = jax.ShapeDtypeStruct((1, 8, 224, 224, 3), jnp.float32)
+    params = jax.eval_shape(i3d.init, jax.random.PRNGKey(0), x)
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     assert n_params > 12_000_000  # I3D Kinetics-400 has ~12.7M params
-    out = i3d.apply(params, x)
+    out = jax.eval_shape(i3d.apply, params, x)
     assert out.shape == (1, 400)
 
 

@@ -56,13 +56,15 @@ def test_swat_gradients_match_unfused():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
-@pytest.mark.parametrize("f,h,w,d,ws", [(3, 8, 8, 40, 4), (2, 8, 16, 64, 8),
-                                        (2, 8, 32, 40, 8),
-                                        # widths NOT divisible by 16: the old
-                                        # sw=min(16,w) grid left trailing
-                                        # columns unwritten (ADVICE r2 medium)
-                                        (2, 8, 24, 40, 8), (2, 8, 40, 32, 8),
-                                        (2, 4, 12, 32, 4)])
+@pytest.mark.parametrize("f,h,w,d,ws", [
+    (3, 8, 8, 40, 4),
+    pytest.param(2, 8, 16, 64, 8, marks=pytest.mark.slow),
+    pytest.param(2, 8, 32, 40, 8, marks=pytest.mark.slow),
+    # widths NOT divisible by 16: the old sw=min(16,w) grid left trailing
+    # columns unwritten (ADVICE r2 medium)
+    (2, 8, 24, 40, 8),
+    pytest.param(2, 8, 40, 32, 8, marks=pytest.mark.slow),
+    (2, 4, 12, 32, 4)])
 def test_swat_fused_backward_kernel(f, h, w, d, ws):
     """Pallas backward kernel (in-kernel rotary adjoint) vs XLA vjp."""
     rng = np.random.RandomState(3)
