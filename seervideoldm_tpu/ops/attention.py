@@ -265,12 +265,21 @@ class WindowTemporalAttention(nn.Module):
             from .pallas.swat_attention import swat_attention, swat_attention_available
 
             if swat_attention_available():
-                # fully fused: rotary + windowing + causal attention in one
-                # kernel; no partition transposes touch HBM
+                # fused windowing + causal attention in one kernel; no
+                # partition transposes touch HBM.  Rotary is applied HERE in
+                # XLA (one fusable elementwise pass over q/k, ~0.2 ms of HBM
+                # traffic at 512px-L0) rather than in-kernel (rot_dim=0):
+                # the per-window trig measured 36% of the kernel's runtime
+                # (3.35 of 9.38 ms at 512px-L0, tools/probe r3).  Positions
+                # are the f-major full-resolution flattening — exactly the
+                # kernel's former in-kernel reconstruction.
+                freqs = rotary_freqs(jnp.arange(n), rot_dim)
+                q = apply_rotary(q, freqs)
+                k = apply_rotary(k, freqs)
                 bh = b * self.heads
                 grid5 = lambda t: t.reshape(bh, f, h, w, self.dim_head)  # noqa: E731
                 out = swat_attention(
-                    grid5(q), grid5(k), grid5(v), scale, self.causal, ws, rot_dim
+                    grid5(q), grid5(k), grid5(v), scale, self.causal, ws, 0
                 )
                 out = out.reshape(b, self.heads, n, self.dim_head)
                 out = _merge_heads(out)

@@ -83,16 +83,17 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool,
     tokens = f * ws * ws
     nw = w // ws
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (tokens, d_pad), 1)
-    pair = (lane // 2).astype(jnp.float32)
-    inv_freq = jnp.exp(pair * (-2.0 * math.log(theta) / rot_dim))
-    in_rot = lane < rot_dim
+    if rot_dim > 0:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (tokens, d_pad), 1)
+        pair = (lane // 2).astype(jnp.float32)
+        inv_freq = jnp.exp(pair * (-2.0 * math.log(theta) / rot_dim))
+        in_rot = lane < rot_dim
 
-    tok = jax.lax.broadcasted_iota(jnp.int32, (tokens, d_pad), 0)
-    frame = tok // (ws * ws)
-    rem = tok % (ws * ws)
-    row_in_win = rem // ws
-    col_in_win = rem % ws
+        tok = jax.lax.broadcasted_iota(jnp.int32, (tokens, d_pad), 0)
+        frame = tok // (ws * ws)
+        rem = tok % (ws * ws)
+        row_in_win = rem // ws
+        col_in_win = rem % ws
 
     rows_t = jax.lax.broadcasted_iota(jnp.int32, (tokens, tokens), 0)
     cols_t = jax.lax.broadcasted_iota(jnp.int32, (tokens, tokens), 1)
@@ -110,26 +111,34 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool,
         outs = []
         for sub in range(wins_per_slice):
             j_col = c * sw + sub * ws  # window's first column in w
-            pos = (frame * (h * w) + (wi * ws + row_in_win) * w
-                   + (j_col + col_in_win)).astype(jnp.float32)
-            phase = pos * inv_freq
-            # pass-through lanes (>= rot_dim) folded into the tables:
-            # cos=1, sin=0 there, so `t*cos + rh(t)*sin` applies everywhere
-            # without a separate select pass per rotate
-            cos = jnp.where(in_rot, jnp.cos(phase), 1.0)
-            sin = jnp.where(in_rot, jnp.sin(phase), 0.0)
-
-            def rotate(t):
-                t32 = t.astype(jnp.float32)
-                return t32 * cos + _rotate_half_roll(t32) * sin
 
             def window(chunk):
                 return chunk[:, :, sub * ws : (sub + 1) * ws, :].reshape(
                     tokens, d_pad
                 )
 
-            q = rotate(window(chunk_q)).astype(chunk_q.dtype)
-            k = rotate(window(chunk_k)).astype(chunk_k.dtype)
+            if rot_dim > 0:
+                pos = (frame * (h * w) + (wi * ws + row_in_win) * w
+                       + (j_col + col_in_win)).astype(jnp.float32)
+                phase = pos * inv_freq
+                # pass-through lanes (>= rot_dim) folded into the tables:
+                # cos=1, sin=0 there, so `t*cos + rh(t)*sin` applies
+                # everywhere without a separate select per rotate
+                cos = jnp.where(in_rot, jnp.cos(phase), 1.0)
+                sin = jnp.where(in_rot, jnp.sin(phase), 0.0)
+
+                def rotate(t):
+                    t32 = t.astype(jnp.float32)
+                    return t32 * cos + _rotate_half_roll(t32) * sin
+
+                q = rotate(window(chunk_q)).astype(chunk_q.dtype)
+                k = rotate(window(chunk_k)).astype(chunk_k.dtype)
+            else:
+                # rot_dim == 0: caller pre-rotated q/k in XLA (fused into
+                # the projection epilogue) — in-kernel trig measured 36% of
+                # this kernel's runtime at the 512px L0 shape (probe r3)
+                q = window(chunk_q)
+                k = window(chunk_k)
             v_win = window(chunk_v)
 
             def softmax_pv(s, vis_v):
@@ -229,16 +238,17 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *,
     tokens = f * ws * ws
     wins = sw // ws
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (tokens, d_pad), 1)
-    pair = (lane // 2).astype(jnp.float32)
-    inv_freq = jnp.exp(pair * (-2.0 * math.log(theta) / rot_dim))
-    in_rot = lane < rot_dim
+    if rot_dim > 0:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (tokens, d_pad), 1)
+        pair = (lane // 2).astype(jnp.float32)
+        inv_freq = jnp.exp(pair * (-2.0 * math.log(theta) / rot_dim))
+        in_rot = lane < rot_dim
 
-    tok = jax.lax.broadcasted_iota(jnp.int32, (tokens, d_pad), 0)
-    frame = tok // (ws * ws)
-    rem = tok % (ws * ws)
-    row_in_win = rem // ws
-    col_in_win = rem % ws
+        tok = jax.lax.broadcasted_iota(jnp.int32, (tokens, d_pad), 0)
+        frame = tok // (ws * ws)
+        rem = tok % (ws * ws)
+        row_in_win = rem // ws
+        col_in_win = rem % ws
 
     rows_t = jax.lax.broadcasted_iota(jnp.int32, (tokens, tokens), 0)
     cols_t = jax.lax.broadcasted_iota(jnp.int32, (tokens, tokens), 1)
@@ -247,18 +257,28 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *,
     dqs, dks, dvs = [], [], []
     for sub in range(wins):
         j_col = ci * sw + sub * ws
-        pos = (frame * (h * w) + (wi * ws + row_in_win) * w
-               + (j_col + col_in_win)).astype(jnp.float32)
-        phase = pos * inv_freq
-        cos = jnp.cos(phase)
-        sin = jnp.sin(phase)
+        if rot_dim > 0:
+            pos = (frame * (h * w) + (wi * ws + row_in_win) * w
+                   + (j_col + col_in_win)).astype(jnp.float32)
+            phase = pos * inv_freq
+            cos = jnp.cos(phase)
+            sin = jnp.sin(phase)
 
-        def rotate(t):
-            t32 = t.astype(jnp.float32)
-            return jnp.where(in_rot, t32 * cos + _rotate_half_roll(t32) * sin, t32)
+            def rotate(t):
+                t32 = t.astype(jnp.float32)
+                return jnp.where(in_rot, t32 * cos + _rotate_half_roll(t32) * sin, t32)
 
-        def derotate(t32):
-            return jnp.where(in_rot, t32 * cos - _rotate_half_roll(t32) * sin, t32)
+            def derotate(t32):
+                return jnp.where(in_rot, t32 * cos - _rotate_half_roll(t32) * sin, t32)
+        else:
+            # rot_dim == 0: q/k arrive pre-rotated from the caller; dq/dk
+            # leave un-derotated and XLA's autodiff of the caller-side
+            # apply_rotary supplies the adjoint.
+            def rotate(t):
+                return t.astype(jnp.float32)
+
+            def derotate(t32):
+                return t32
 
         def window(ref):
             return ref[0, :, :, pl.ds(sub * ws, ws), :].reshape(tokens, d_pad)
