@@ -94,6 +94,21 @@ def main():
     t = bench(lambda x: swat._unfused_reference(x, x, x, 40**-0.5, True, 8, 32), qs)
     print(f"swat unfused (XLA) : {t*1e3:.2f} ms", flush=True)
 
+    # production dispatch since r3: rotary applied in XLA (fused elementwise
+    # pass), kernel runs with rot_dim=0 (ops/attention.py:265-285)
+    from seervideoldm_tpu.ops.rotary import apply_rotary, rotary_freqs
+
+    n = 12 * 64 * 64
+    freqs = rotary_freqs(jnp.arange(n), 32)
+
+    def prerot_swat(x):
+        flat = x.reshape(16, n, 40)
+        xr = apply_rotary(flat, freqs).astype(dtype).reshape(x.shape)
+        return swat.swat_attention(xr, xr, x, 40**-0.5, True, 8, 0)
+
+    t = bench(prerot_swat, qs)
+    print(f"swat fused + XLA pre-rotate (prod): {t*1e3:.2f} ms", flush=True)
+
 
 if __name__ == "__main__":
     main()
