@@ -288,27 +288,91 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *,
         v32 = window(v_ref).astype(jnp.float32)
         g32 = window(g_ref).astype(jnp.float32)
 
-        s = jax.lax.dot_general(
-            qr, kr, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        if causal:
-            s = jnp.where(tril, s, NEG_INF)
-        p = jax.nn.softmax(s, axis=-1)
+        if causal and f > 1:
+            # Causal frame-block decomposition (mirrors the forward): each
+            # frame-row group only sees its column prefix, so every matmul
+            # (S, dv, dp, dq, dk) runs over [0:ncols] instead of the full
+            # square — ~2x fewer MXU passes at f=12.  dk/dv accumulate over
+            # groups into fp32 (tokens, d) buffers via zero-padded adds
+            # (static shapes; Mosaic lowers concat-with-zeros for free).
+            gsz = max(1, 128 // (ws * ws))  # rows per group ~128
+            dv_acc = jnp.zeros((tokens, d_pad), jnp.float32)
+            dk_acc = jnp.zeros((tokens, d_pad), jnp.float32)
+            dq_groups = []
+            start = 0
+            while start < f:
+                gf = min(gsz, f - start)
+                row0 = start * ws * ws
+                rows_n = gf * ws * ws
+                ncols = row0 + rows_n
+                qg = qr[row0 : row0 + rows_n]
+                gg = g32[row0 : row0 + rows_n]
+                kp = kr[:ncols]
+                vp = v32[:ncols]
+                s = jax.lax.dot_general(
+                    qg, kp, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * scale
+                rg = row0 + jax.lax.broadcasted_iota(
+                    jnp.int32, (rows_n, ncols), 0)
+                cg = jax.lax.broadcasted_iota(jnp.int32, (rows_n, ncols), 1)
+                s = jnp.where(cg <= rg, s, NEG_INF)
+                p = jax.nn.softmax(s, axis=-1)
+                dv_c = jax.lax.dot_general(
+                    p, gg, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                dp = jax.lax.dot_general(
+                    gg, vp, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+                ds = p * (dp - delta) * scale
+                dq_groups.append(jax.lax.dot_general(
+                    ds, kp, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ))
+                dk_c = jax.lax.dot_general(
+                    ds, qg, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                if ncols < tokens:
+                    pad = jnp.zeros((tokens - ncols, d_pad), jnp.float32)
+                    dv_c = jnp.concatenate([dv_c, pad], axis=0)
+                    dk_c = jnp.concatenate([dk_c, pad], axis=0)
+                dv_acc = dv_acc + dv_c
+                dk_acc = dk_acc + dk_c
+                start += gf
+            dq = derotate(jnp.concatenate(dq_groups, axis=0))
+            dk = derotate(dk_acc)
+            dv = dv_acc
+        else:
+            s = jax.lax.dot_general(
+                qr, kr, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32
+            ) * scale
+            if causal:
+                s = jnp.where(tril, s, NEG_INF)
+            p = jax.nn.softmax(s, axis=-1)
 
-        dv = jax.lax.dot_general(
-            p, g32, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        dp = jax.lax.dot_general(
-            g32, v32, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        delta = jnp.sum(p * dp, axis=-1, keepdims=True)
-        ds = p * (dp - delta) * scale
-        dq = derotate(jax.lax.dot_general(
-            ds, kr, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        ))
-        dk = derotate(jax.lax.dot_general(
-            ds, qr, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        ))
+            dv = jax.lax.dot_general(
+                p, g32, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32
+            )
+            dp = jax.lax.dot_general(
+                g32, v32, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32
+            )
+            delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+            ds = p * (dp - delta) * scale
+            dq = derotate(jax.lax.dot_general(
+                ds, kr, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32
+            ))
+            dk = derotate(jax.lax.dot_general(
+                ds, qr, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32
+            ))
         shape5 = (f, ws, ws, d_pad)
         dqs.append(dq.reshape(shape5))
         dks.append(dk.reshape(shape5))

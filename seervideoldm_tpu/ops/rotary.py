@@ -20,6 +20,7 @@ that matter for checkpoint parity:
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -47,9 +48,25 @@ def apply_rotary(t: jnp.ndarray, freqs: jnp.ndarray) -> jnp.ndarray:
     """Rotate the first ``rot_dim`` channels of ``t`` (..., seq, head_dim).
 
     ``freqs`` has shape broadcastable to ``t.shape[:-1] + (rot_dim,)``.
-    """
+
+    TPU-friendly formulation: the interleave-pair `rotate_half` is a lane
+    roll + parity select over the FULL head width, with pass-through lanes
+    (>= rot_dim) folded into the tables as cos=1/sin=0 — no strided lane
+    slicing, no (d/2, 2) relayout, no lane concat.  Measured 2.05 -> ~0.3 ms
+    per q/k pair at the 512px-L0 shape (probe r3).  Identical math to the
+    reference's interleaved convention (same fp32 trig)."""
     rot_dim = freqs.shape[-1]
-    t_rot = t[..., :rot_dim].astype(jnp.float32)
-    t_pass = t[..., rot_dim:]
-    rotated = t_rot * jnp.cos(freqs) + _rotate_half_interleaved(t_rot) * jnp.sin(freqs)
-    return jnp.concatenate([rotated.astype(t.dtype), t_pass], axis=-1)
+    d = t.shape[-1]
+    cos = jnp.cos(freqs)
+    sin = jnp.sin(freqs)
+    if d > rot_dim:
+        widths = ((0, 0),) * (freqs.ndim - 1) + ((0, d - rot_dim),)
+        cos = jnp.pad(cos, widths, constant_values=1.0)
+        sin = jnp.pad(sin, widths, constant_values=0.0)
+    t32 = t.astype(jnp.float32)
+    # rotate_half on interleaved pairs: out[2i] = -x[2i+1], out[2i+1] = x[2i]
+    fwd = jnp.roll(t32, -1, axis=-1)
+    bwd = jnp.roll(t32, 1, axis=-1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (d,), 0)
+    rh = jnp.where(lane % 2 == 0, -fwd, bwd)
+    return (t32 * cos + rh * sin).astype(t.dtype)

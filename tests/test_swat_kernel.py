@@ -56,6 +56,34 @@ def test_swat_gradients_match_unfused():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+def test_swat_multigroup_causal_decomposition_gradients():
+    """f=9 > gsz=8 at ws=4 forces MULTIPLE frame-row groups, exercising the
+    backward kernel's prefix dk/dv accumulation across groups (a single
+    group degenerates to the full-square path)."""
+    rng = np.random.RandomState(3)
+    f, h, w, d, ws = 9, 8, 8, 16, 4
+    q = jnp.asarray(rng.randn(1, f, h, w, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(1, f, h, w, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(1, f, h, w, d).astype(np.float32))
+    scale, rot = d**-0.5, 16
+
+    got = np.asarray(swat.swat_attention(q, k, v, scale, True, ws, rot))
+    want = np.asarray(swat._unfused_reference(q, k, v, scale, True, ws, rot))
+    np.testing.assert_allclose(got, want, atol=3e-5)
+
+    def loss_fused(q, k, v):
+        return jnp.sum(swat.swat_attention(q, k, v, scale, True, ws, rot) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(swat._unfused_reference(q, k, v, scale, True, ws, rot) ** 2)
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=1e-3)
+
+
 def test_swat_kernel_prerotated_rot0():
     """rot_dim=0 (caller pre-rotates in XLA) == in-kernel rotary path.
 
