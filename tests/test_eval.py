@@ -78,12 +78,14 @@ def test_i3d_forward_shape():
 
 
 def test_c3d_forward_shape():
+    # abstract-shape only (~30 s of 1-core compile saved; the numeric C3D
+    # forward runs in the eval.py IS e2e test, test_entry_scripts.py)
     from seervideoldm_tpu.evaluation.c3d import C3D
 
     c3d = C3D()
-    x = jnp.zeros((1, 16, 112, 112, 3))
-    params = c3d.init(jax.random.PRNGKey(0), x)
-    out = c3d.apply(params, x)
+    x = jax.ShapeDtypeStruct((1, 16, 112, 112, 3), jnp.float32)
+    params = jax.eval_shape(c3d.init, jax.random.PRNGKey(0), x)
+    out = jax.eval_shape(c3d.apply, params, x)
     assert out.shape == (1, 101)
 
 

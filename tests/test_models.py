@@ -151,6 +151,7 @@ def test_seer_unet_tiny_forward(cond_frame):
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_attention_slice_matches_unsliced():
     """Model-level set_attention_slice parity knob
     (reference unet_3d_condition.py:214-277): sliced attention must be a

@@ -56,8 +56,12 @@ def test_unet_matches_torch_oracle(models_and_params, cond_frame):
     np.testing.assert_allclose(got, want, atol=5e-4)
 
 
+@pytest.mark.slow
 def test_unet_parity_larger_spatial(models_and_params):
-    """16x16 exercises the windowed (ws=4) temporal attention path."""
+    """16x16 exercises the windowed (ws=4) temporal attention path.
+
+    slow-marked (~70 s of 1-core compile): the ws=4 window path is also
+    covered at ops level by test_swat_kernel / test_ops."""
     oracle, unet, params = models_and_params
     rng = np.random.RandomState(2)
     b, f, h, w = 1, 3, 16, 16
