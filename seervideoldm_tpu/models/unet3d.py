@@ -21,7 +21,7 @@ Layout: channels-last. ``sample`` is ``(b, f, h, w, c)``; use
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -73,6 +73,12 @@ class SeerUNet(nn.Module):
     remat: bool | str = False
     collect_attn: bool = False  # reference return_attn: sow cross-attn maps
     # retrieve with: unet.apply(..., mutable=["intermediates"])
+    # Optional NamedSharding for the (b, f, h, w, c) activations, anchored
+    # at every block boundary (sequence parallelism: shard f over a 'seq'
+    # mesh axis — spatial convs/attention are frame-local so they stay
+    # sharded; GSPMD inserts the all-gather only around the temporal
+    # attention flatten).  Build with parallel.mesh.video_sharding(mesh).
+    activation_sharding: Optional[Any] = None
 
     @nn.compact
     def __call__(
@@ -104,7 +110,16 @@ class SeerUNet(nn.Module):
             t_emb.astype(self.dtype)
         )
 
-        sample = InflatedConv(boc[0], (3, 3), padding=1, name="conv_in", **kw)(sample)
+        if self.activation_sharding is not None:
+            import jax as _jax
+
+            constrain = lambda t: _jax.lax.with_sharding_constraint(  # noqa: E731
+                t, self.activation_sharding)
+        else:
+            constrain = lambda t: t  # noqa: E731
+
+        sample = constrain(
+            InflatedConv(boc[0], (3, 3), padding=1, name="conv_in", **kw)(sample))
 
         if not self.remat:
             maybe_remat = lambda cls: cls  # noqa: E731
@@ -141,6 +156,7 @@ class SeerUNet(nn.Module):
                     attention_slice=cfg.attention_slice,
                     name=f"down_blocks_{i}", **kw,
                 )(sample, temb=emb, encoder_hidden_states=context)
+                sample = constrain(sample)
             else:
                 sample, res_samples = maybe_remat(DownBlock3D)(
                     in_channels=input_channel, out_channels=output_channel,
@@ -149,6 +165,7 @@ class SeerUNet(nn.Module):
                     downsample_padding=cfg.downsample_padding, add_downsample=False,
                     name=f"down_blocks_{i}", **kw,
                 )(sample, temb=emb)
+                sample = constrain(sample)
             down_block_res += res_samples
 
         # --- mid ---
@@ -160,7 +177,8 @@ class SeerUNet(nn.Module):
             text_frame_condition=True, causal=True, cond_frame=cond_frame,
             collect_attn=self.collect_attn, attention_slice=cfg.attention_slice,
             name="mid_block", **kw,
-        )(sample, temb=emb, encoder_hidden_states=context)
+)(sample, temb=emb, encoder_hidden_states=context)
+        sample = constrain(sample)
 
         # --- up ---
         reversed_boc = list(reversed(boc))
@@ -181,6 +199,7 @@ class SeerUNet(nn.Module):
                     resnet_groups=cfg.norm_num_groups, add_upsample=not is_final,
                     name=f"up_blocks_{i}", **kw,
                 )(sample, res_samples, temb=emb)
+                sample = constrain(sample)
             else:
                 sample = maybe_remat(CrossAttnUpBlock3D)(
                     in_channels=input_channel, out_channels=output_channel,
@@ -194,6 +213,7 @@ class SeerUNet(nn.Module):
                     attention_slice=cfg.attention_slice,
                     name=f"up_blocks_{i}", **kw,
                 )(sample, res_samples, temb=emb, encoder_hidden_states=context)
+                sample = constrain(sample)
 
         # --- out (fp32 GroupNorm island, unet_3d_condition.py:365-370) ---
         sample = GroupNorm(

@@ -42,6 +42,20 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def video_sharding(mesh: Mesh, ndim: int = 5) -> NamedSharding:
+    """(b, f, ...) video activations: batch over 'data', frames over 'seq'.
+
+    Sequence parallelism (beyond the reference, SURVEY §2.4 'optional
+    frame-axis sharding'): per-frame ops (convs, spatial/text attention,
+    GroupNorm) are frame-local so they compute on f/seq frames per device;
+    GSPMD inserts the all-gather only where the temporal attention flattens
+    the frame axis.  Pass the result as ``SeerUNet(activation_sharding=...)``
+    to anchor the layout at every block boundary."""
+    seq = "seq" if "seq" in mesh.axis_names and mesh.shape.get("seq", 1) > 1 else None
+    data = "data" if "data" in mesh.axis_names else None
+    return NamedSharding(mesh, P(data, seq, *([None] * (ndim - 2))))
+
+
 def global_batch_array(mesh: Mesh, local) -> jax.Array:
     """Form the GLOBAL batch array from this process's local batch shard.
 

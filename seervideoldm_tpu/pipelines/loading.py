@@ -55,13 +55,28 @@ def _parse_remat(value):
     )
 
 
-def load_models(cfg: Config, rng: jax.Array, latent_size: Optional[int] = None):
+def load_models(cfg: Config, rng: jax.Array, latent_size: Optional[int] = None,
+                mesh=None):
     """Build SeerModels (+ tokenizer), loading any locally available weights.
 
     Compute dtype: the reference YAML key ``mixed_precision`` ("fp16"/"bf16"/
     "no", reference ``configs/*.yaml``) is honored unless the TPU-native
     ``compute_dtype`` key overrides it.
+
+    With a ``mesh`` carrying a ``seq`` axis (>1), the UNet is built with a
+    frame-axis activation sharding (sequence parallelism) and the Pallas
+    kernels are forced off — pallas_call is an opaque custom call GSPMD
+    cannot partition over the frame axis.
     """
+    from ..ops.pallas import set_pallas_enabled
+
+    use_pallas = bool(cfg.get("use_pallas_attention", True))
+    seq_parallel = mesh is not None and mesh.shape.get("seq", 1) > 1
+    if seq_parallel and use_pallas:
+        print("sequence-parallel mesh: forcing the XLA attention paths")
+        use_pallas = False
+    set_pallas_enabled(use_pallas)
+
     dtype_key = cfg.get("compute_dtype") or cfg.mixed_precision or "bfloat16"
     if cfg.get("compute_dtype") == "bfloat16" and cfg.mixed_precision == "no":
         dtype_key = "no"  # explicit full-precision request wins over our default
@@ -104,6 +119,11 @@ def load_models(cfg: Config, rng: jax.Array, latent_size: Optional[int] = None):
         remat=(_parse_remat(cfg.get("remat", False))
                or bool(cfg.get("gradient_checkpointing", False))),
     )
+    if seq_parallel:
+        from ..parallel.mesh import video_sharding
+
+        models.unet = models.unet.clone(
+            activation_sharding=video_sharding(mesh))
     tokenizer = build_tokenizer(cfg.tokenizer_path)
 
     root = cfg.pretrained_model_name_or_path

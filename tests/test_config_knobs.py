@@ -90,3 +90,77 @@ def test_gradient_checkpointing_maps_to_remat(tmp_path, monkeypatch):
         loading.load_models(cfg2, jax.random.PRNGKey(0))
     # explicit TPU-native knob wins over the bool mapping
     assert captured["remat"] == "save_attn"
+
+
+def test_use_pallas_attention_knob_wired(tmp_path, monkeypatch):
+    """`use_pallas_attention: false` must actually force the XLA attention
+    paths (it was a dead config field before r3)."""
+    import importlib
+
+    import jax
+
+    from seervideoldm_tpu.pipelines import loading
+
+    fa = importlib.import_module("seervideoldm_tpu.ops.pallas.flash_attention")
+    swat = importlib.import_module("seervideoldm_tpu.ops.pallas.swat_attention")
+
+    class _Sentinel(Exception):
+        pass
+
+    def fake_initialize(rng, **kw):
+        raise _Sentinel
+
+    monkeypatch.setattr(loading.SeerModels, "initialize",
+                        staticmethod(fake_initialize))
+    try:
+        cfg = load_config(_write_cfg(tmp_path, use_pallas_attention=False))
+        with pytest.raises(_Sentinel):
+            loading.load_models(cfg, jax.random.PRNGKey(0))
+        assert fa._DISABLE and swat._DISABLE
+        assert not fa.flash_attention_available()
+        assert not swat.swat_attention_available()
+
+        cfg2 = load_config(_write_cfg(tmp_path, use_pallas_attention=True))
+        with pytest.raises(_Sentinel):
+            loading.load_models(cfg2, jax.random.PRNGKey(0))
+        assert not fa._DISABLE and not swat._DISABLE
+    finally:
+        fa._DISABLE = False
+        swat._DISABLE = False
+
+
+def test_seq_mesh_builds_seq_sharded_unet(tmp_path):
+    """A mesh with a 'seq' axis must produce a UNet with frame-axis
+    activation sharding and pallas forced off."""
+    import importlib
+
+    import jax
+
+    from seervideoldm_tpu.parallel.mesh import create_mesh
+    from seervideoldm_tpu.pipelines import loading
+
+    swat = importlib.import_module("seervideoldm_tpu.ops.pallas.swat_attention")
+    mesh = create_mesh({"data": 2, "seq": 2})
+    cfg = load_config(_write_cfg(
+        tmp_path, resolution=32, num_frames=4,
+        model_overrides={
+            "unet": {"block_out_channels": [32, 64], "layers_per_block": 1,
+                     "norm_num_groups": 8, "cross_attention_dim": 32,
+                     "attention_head_dim": 4},
+            "vae": {"block_out_channels": [16, 32], "layers_per_block": 1,
+                    "norm_num_groups": 8},
+            "clip": {"vocab_size": 128, "hidden_size": 32,
+                     "intermediate_size": 64, "num_hidden_layers": 2,
+                     "num_attention_heads": 4, "max_position_embeddings": 16},
+            "fstext": {"n_heads": 4, "num_layers": 1}}))
+    try:
+        models, _ = loading.load_models(cfg, jax.random.PRNGKey(0), mesh=mesh)
+        sh = models.unet.activation_sharding
+        assert sh is not None
+        assert sh.spec == jax.sharding.PartitionSpec(
+            "data", "seq", None, None, None)
+        assert swat._DISABLE  # pallas forced off under seq sharding
+    finally:
+        swat._DISABLE = False
+        importlib.import_module(
+            "seervideoldm_tpu.ops.pallas.flash_attention")._DISABLE = False

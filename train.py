@@ -84,7 +84,7 @@ def main() -> None:
             * cfg.train_batch_size * num_hosts
         )
 
-    models, tokenizer = load_models(cfg, rng)
+    models, tokenizer = load_models(cfg, rng, mesh=mesh)
     params = {"unet": models.unet_params, "fstext": models.fstext_params}
     # gradients + Adam state only for temporal attentions + FSText
     trainable, frozen = partition_params(params, trainable_mask(params))
