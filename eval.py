@@ -20,6 +20,7 @@ from seervideoldm_tpu.parallel.distributed import (
     initialize_distributed,
     is_main_process,
 )
+from seervideoldm_tpu.parallel.mesh import create_mesh
 from seervideoldm_tpu.pipelines.loading import (
     load_finetuned,
     load_models,
@@ -41,11 +42,12 @@ def main() -> None:
     rng = jax.random.PRNGKey(cfg.seed)
     k_model, k_eval = jax.random.split(rng)
 
-    models, tokenizer = load_models(cfg, k_model)
+    mesh = create_mesh(cfg.mesh_shape) if cfg.mesh_shape else None
+    models, tokenizer = load_models(cfg, k_model, mesh=mesh)
     ckpt_dir = resolve_finetuned_dir(cfg)
     if ckpt_dir:
         models = load_finetuned(models, ckpt_dir)
-    pipe = SeerPipeline(models)
+    pipe = SeerPipeline(models, mesh=mesh)
 
     fvd_eval = None
     if cfg.compute_fvd:

@@ -19,6 +19,7 @@ from seervideoldm_tpu.parallel.distributed import (
     initialize_distributed,
     is_main_process,
 )
+from seervideoldm_tpu.parallel.mesh import create_mesh
 from seervideoldm_tpu.pipelines.loading import (
     load_finetuned,
     load_models,
@@ -37,11 +38,14 @@ def main() -> None:
     rng = jax.random.PRNGKey(cfg.seed)
     k_model, k_sample = jax.random.split(rng)
 
-    models, tokenizer = load_models(cfg, k_model)
+    # opt-in multi-chip sampling: YAML `mesh_shape: {data: N}` shards every
+    # batch over the local mesh (+ `seq: M` adds frame-axis sharding)
+    mesh = create_mesh(cfg.mesh_shape) if cfg.mesh_shape else None
+    models, tokenizer = load_models(cfg, k_model, mesh=mesh)
     ckpt_dir = resolve_finetuned_dir(cfg)
     if ckpt_dir:
         models = load_finetuned(models, ckpt_dir)
-    pipe = SeerPipeline(models)
+    pipe = SeerPipeline(models, mesh=mesh)
 
     dataset = build_dataset(
         cfg.dataset, cfg.dataset_path or cfg.get("data_dir"),

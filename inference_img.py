@@ -17,6 +17,7 @@ from PIL import Image
 
 from seervideoldm_tpu.config import parse_args
 from seervideoldm_tpu.data.transforms import resize_center_crop
+from seervideoldm_tpu.parallel.mesh import create_mesh
 from seervideoldm_tpu.pipelines.loading import (
     load_finetuned,
     load_models,
@@ -42,11 +43,12 @@ def main() -> None:
             "error: --image_path (or the image_path config key) is required"
         )
 
-    models, tokenizer = load_models(cfg, k_model)
+    mesh = create_mesh(cfg.mesh_shape) if cfg.mesh_shape else None
+    models, tokenizer = load_models(cfg, k_model, mesh=mesh)
     ckpt_dir = resolve_finetuned_dir(cfg)
     if ckpt_dir:
         models = load_finetuned(models, ckpt_dir)
-    pipe = SeerPipeline(models)
+    pipe = SeerPipeline(models, mesh=mesh)
 
     with Image.open(cfg.image_path) as img:
         img = resize_center_crop(img.convert("RGB"), cfg.resolution)

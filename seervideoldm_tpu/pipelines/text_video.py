@@ -126,12 +126,20 @@ class SeerPipeline:
         )
 
     def _shard(self, x: jnp.ndarray) -> jnp.ndarray:
-        """Shard a batch array over the data axis when a mesh is set."""
+        """Shard a batch array over the data axis when a mesh is set.
+
+        Batches not divisible by the data axis (e.g. a single image on a
+        multi-chip mesh) are replicated instead — a layout fallback, never
+        an error."""
         if self.mesh is None:
             return jnp.asarray(x)
-        from ..parallel.mesh import batch_sharding
+        from ..parallel.mesh import batch_sharding, replicate
 
-        return jax.device_put(jnp.asarray(x), batch_sharding(self.mesh, np.ndim(x)))
+        x = jnp.asarray(x)
+        data = self.mesh.shape.get("data", 1)
+        if np.ndim(x) == 0 or x.shape[0] % data != 0:
+            return jax.device_put(x, replicate(self.mesh))
+        return jax.device_put(x, batch_sharding(self.mesh, np.ndim(x)))
 
     # --- text ---
     def encode_text(self, input_ids: np.ndarray, attention_mask: np.ndarray) -> jnp.ndarray:
