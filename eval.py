@@ -47,7 +47,8 @@ def main() -> None:
     ckpt_dir = resolve_finetuned_dir(cfg)
     if ckpt_dir:
         models = load_finetuned(models, ckpt_dir)
-    pipe = SeerPipeline(models, mesh=mesh)
+    pipe = SeerPipeline(models, mesh=mesh,
+                        donate_latents=bool(cfg.donate_latents))
 
     fvd_eval = None
     if cfg.compute_fvd:

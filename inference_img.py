@@ -48,7 +48,8 @@ def main() -> None:
     ckpt_dir = resolve_finetuned_dir(cfg)
     if ckpt_dir:
         models = load_finetuned(models, ckpt_dir)
-    pipe = SeerPipeline(models, mesh=mesh)
+    pipe = SeerPipeline(models, mesh=mesh,
+                        donate_latents=bool(cfg.donate_latents))
 
     with Image.open(cfg.image_path) as img:
         img = resize_center_crop(img.convert("RGB"), cfg.resolution)

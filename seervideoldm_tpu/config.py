@@ -127,6 +127,13 @@ def validate(cfg: Config) -> Config:
             "egress (no Hugging Face Hub access). Remove `push_to_hub: true` "
             "from the config and upload the checkpoint directory manually."
         )
+    if cfg.get("center_crop") is False:
+        raise ValueError(
+            "center_crop: false is not supported: the reference's live data "
+            "path always applies Resize -> CenterCrop (sthv2.py:50-56) and "
+            "so does this framework; a no-crop mode would silently change "
+            "the training distribution."
+        )
     return cfg
 
 

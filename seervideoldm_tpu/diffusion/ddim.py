@@ -19,14 +19,14 @@ Semantics preserved from the reference ``p_sample_ddim``:
   temporal-FF cond-frame skip is active only in training.  Exposed here for
   callers that want the "fixed" behavior.
 
-Deliberately not rebuilt: the reference's two-call CFG branch for
-*unequal* uncond/cond context frame counts (``ddim_video.py:205-207``,
-taken only when ``uncond.shape[1] != cond.shape[1]``).  Every reference
-entry point expands the uncond embedding to the same frame count before
-sampling (``inference.py:193-194``, ``eval.py``), so that branch is dead in
-practice; here ``uncond_context`` must match ``context``'s frame count (the
-pipeline guarantees it), keeping CFG a single batched UNet call inside the
-scan.
+- the two-call CFG branch for *unequal* uncond/cond context shapes
+  (``ddim_video.py:200-207``: the batched ``[uncond; cond]`` concat requires
+  equal shapes; otherwise the reference runs two separate UNet calls).
+  Every reference entry point expands the uncond embedding to a matching
+  shape before sampling (``inference.py:193-194``), so the branch is
+  near-dead in practice, but it is live API surface and kept here: a
+  ``uncond_context`` whose trailing dims differ from ``context``'s takes
+  two UNet calls per scan step (each still traced exactly once).
 
 Layout: channels-last latents ``(b, f, h, w, c)``.
 """
@@ -73,7 +73,11 @@ def ddim_sample_loop(
     sqrt_one_minus = jnp.asarray(tables.sqrt_one_minus_alphas)
     num_steps = timesteps.shape[0]
 
-    if use_cfg:
+    # Reference ddim_video.py:200-207: CFG is one batched [uncond; cond]
+    # call when the context shapes match, two separate calls otherwise
+    # (e.g. an uncond embedding with a different token count).
+    unequal_cfg = use_cfg and uncond_context.shape[1:] != context.shape[1:]
+    if use_cfg and not unequal_cfg:
         # One batched UNet call per step: [uncond; cond] (reference order).
         ctx_in = jnp.concatenate([uncond_context, context], axis=0)
     else:
@@ -83,7 +87,11 @@ def ddim_sample_loop(
         t, a_t, a_prev, sigma_t, sqrt_1m_at, step_idx = per_step
         x_cat = img if x0_emb is None else jnp.concatenate([x0_emb, img], axis=1)
         ts = jnp.full((b,), t, dtype=jnp.int32)
-        if use_cfg:
+        if unequal_cfg:
+            e_uncond = unet_apply(x_cat, ts, uncond_context, cond_frame)[:, cond_f:]
+            e_cond = unet_apply(x_cat, ts, context, cond_frame)[:, cond_f:]
+            e_t = e_uncond + guidance_scale * (e_cond - e_uncond)
+        elif use_cfg:
             x_in = jnp.concatenate([x_cat, x_cat], axis=0)
             t_in = jnp.concatenate([ts, ts], axis=0)
             e_all = unet_apply(x_in, t_in, ctx_in, cond_frame)

@@ -57,6 +57,7 @@ def dot_product_attention(
     """
     n, m = q.shape[-2], k.shape[-2]
     if use_flash and mask is None:
+        from .pallas import get_activation_mesh, maybe_shard_batched
         from .pallas.flash_attention import flash_attention, flash_attention_available
 
         # flash pays off only when BOTH sides are long: measured on v5e,
@@ -69,7 +70,16 @@ def dot_product_attention(
         # Rectangular-causal (tril(m-n)) stays on the einsum path.
         if (flash_attention_available() and n >= 512 and m >= 512
                 and (not causal or n == m)):
-            return flash_attention(q, k, v, scale, causal)
+            if get_activation_mesh() is None:
+                return flash_attention(q, k, v, scale, causal)
+            # multi-device mesh: the kernel must run under shard_map (axis-0
+            # batch partitioning) — raw pallas_call is opaque to GSPMD.
+            # Non-divisible batches fall through to the einsum path.
+            out = maybe_shard_batched(
+                lambda qs, ks, vs: flash_attention(qs, ks, vs, scale, causal),
+                q, k, v)
+            if out is not None:
+                return out
     if causal and mask is None:
         mask = causal_mask(n, m)
     logits = jnp.einsum("...nd,...md->...nm", q, k, preferred_element_type=jnp.float32)
@@ -258,45 +268,50 @@ class WindowTemporalAttention(nn.Module):
         ws = select_window_size(h)
         scale = self.dim_head**-0.5
 
-        # measured on v5e: the fused kernel wins at ws=8 (3.0 vs 4.1 ms at
-        # the 512px-L1 shape) but the XLA path edges it out at ws=4 windows
-        # (2.05 vs 2.24 ms) — tiny windows amortize nothing
-        if ws is not None and ws >= 8 and self.use_flash:
-            from .pallas.swat_attention import swat_attention, swat_attention_available
-
-            if swat_attention_available():
-                # fused windowing + causal attention in one kernel; no
-                # partition transposes touch HBM.  Rotary is applied HERE in
-                # XLA (one fusable elementwise pass over q/k, ~0.2 ms of HBM
-                # traffic at 512px-L0) rather than in-kernel (rot_dim=0):
-                # the per-window trig measured 36% of the kernel's runtime
-                # (3.35 of 9.38 ms at 512px-L0, tools/probe r3).  Positions
-                # are the f-major full-resolution flattening — exactly the
-                # kernel's former in-kernel reconstruction.
-                freqs = rotary_freqs(jnp.arange(n), rot_dim)
-                q = apply_rotary(q, freqs)
-                k = apply_rotary(k, freqs)
-                bh = b * self.heads
-                grid5 = lambda t: t.reshape(bh, f, h, w, self.dim_head)  # noqa: E731
-                out = swat_attention(
-                    grid5(q), grid5(k), grid5(v), scale, self.causal, ws, 0
-                )
-                out = out.reshape(b, self.heads, n, self.dim_head)
-                out = _merge_heads(out)
-                out = dense(self.query_dim, "to_out_0", True)(out)
-                out = checkpoint_name(out, "attn_out")
-                return out.reshape(b, f, h, w, self.query_dim)
-
+        # Rotary is applied HERE in XLA (one fusable elementwise pass over
+        # q/k, ~0.2 ms of HBM traffic at 512px-L0) rather than in-kernel
+        # (rot_dim=0): the per-window trig measured 36% of the kernel's
+        # runtime (3.35 of 9.38 ms at 512px-L0, tools/probe r3).  Positions
+        # are the f-major full-resolution flattening — exactly the kernel's
+        # former in-kernel reconstruction.
         freqs = rotary_freqs(jnp.arange(n), rot_dim)
         q = apply_rotary(q, freqs)
         k = apply_rotary(k, freqs)
 
-        if ws is None:
+        out = None
+        # measured on v5e: the fused kernel wins at ws=8 (3.0 vs 4.1 ms at
+        # the 512px-L1 shape) but the XLA path edges it out at ws=4 windows
+        # (2.05 vs 2.24 ms) — tiny windows amortize nothing
+        if ws is not None and ws >= 8 and self.use_flash:
+            from .pallas import get_activation_mesh, maybe_shard_batched
+            from .pallas.swat_attention import swat_attention, swat_attention_available
+
+            if swat_attention_available():
+                # fused windowing + causal attention in one kernel; no
+                # partition transposes touch HBM
+                bh = b * self.heads
+                grid5 = lambda t: t.reshape(bh, f, h, w, self.dim_head)  # noqa: E731
+                fn = lambda qs, ks, vs: swat_attention(  # noqa: E731
+                    qs, ks, vs, scale, self.causal, ws, 0)
+                if get_activation_mesh() is None:
+                    out = fn(grid5(q), grid5(k), grid5(v))
+                else:
+                    # multi-device mesh: run the kernel under shard_map
+                    # (axis-0 partitioning over batch·heads); each device
+                    # gets a bh-sub-range of FULL videos — the same data
+                    # motion as the all-gather a seq-sharded einsum path
+                    # needs, but the fused kernel stays usable.  None =
+                    # non-divisible bh: take the XLA path below instead.
+                    out = maybe_shard_batched(fn, grid5(q), grid5(k), grid5(v))
+                if out is not None:
+                    out = out.reshape(b, self.heads, n, self.dim_head)
+
+        if out is None and ws is None:
             # full-frame: one "window" of f*h*w tokens per (batch, head)
             out = dot_product_attention(
                 q, k, v, scale, causal=self.causal, use_flash=self.use_flash
             )  # (b, H, n, d)
-        else:
+        elif out is None:
             bh = b * self.heads
             grid = lambda t: t.reshape(bh, f, h, w, self.dim_head)  # noqa: E731
             qw = window_partition(grid(q), ws)  # (nW*bh, f*ws*ws, d)

@@ -35,15 +35,6 @@ def rotary_freqs(positions: jnp.ndarray, rot_dim: int, theta: float = 10000.0) -
     return jnp.repeat(freqs, 2, axis=-1)  # (..., rot_dim), [f0,f0,f1,f1,...]
 
 
-def _rotate_half_interleaved(x: jnp.ndarray) -> jnp.ndarray:
-    """(x0, x1, x2, x3, ...) -> (-x1, x0, -x3, x2, ...)."""
-    x_pairs = x.reshape(*x.shape[:-1], x.shape[-1] // 2, 2)
-    x1 = x_pairs[..., 0]
-    x2 = x_pairs[..., 1]
-    rotated = jnp.stack([-x2, x1], axis=-1)
-    return rotated.reshape(x.shape)
-
-
 def apply_rotary(t: jnp.ndarray, freqs: jnp.ndarray) -> jnp.ndarray:
     """Rotate the first ``rot_dim`` channels of ``t`` (..., seq, head_dim).
 

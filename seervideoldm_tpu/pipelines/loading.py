@@ -64,18 +64,23 @@ def load_models(cfg: Config, rng: jax.Array, latent_size: Optional[int] = None,
     ``compute_dtype`` key overrides it.
 
     With a ``mesh`` carrying a ``seq`` axis (>1), the UNet is built with a
-    frame-axis activation sharding (sequence parallelism) and the Pallas
-    kernels are forced off — pallas_call is an opaque custom call GSPMD
-    cannot partition over the frame axis.
+    frame-axis activation sharding (sequence parallelism).  Any multi-device
+    mesh (data- and/or seq-sharded batches) is registered as the *activation
+    mesh*: the Pallas kernels then run under shard_map (axis-0 batch
+    partitioning — pallas_call is an opaque custom call GSPMD cannot
+    partition on its own) instead of being disabled.
     """
-    from ..ops.pallas import set_pallas_enabled
+    from ..ops.pallas import set_activation_mesh, set_pallas_enabled
 
     use_pallas = bool(cfg.get("use_pallas_attention", True))
-    seq_parallel = mesh is not None and mesh.shape.get("seq", 1) > 1
-    if seq_parallel and use_pallas:
-        print("sequence-parallel mesh: forcing the XLA attention paths")
-        use_pallas = False
     set_pallas_enabled(use_pallas)
+    seq_parallel = mesh is not None and mesh.shape.get("seq", 1) > 1
+    sharded = mesh is not None and any(
+        mesh.shape.get(a, 1) > 1 for a in ("data", "seq", "model"))
+    set_activation_mesh(mesh if sharded else None)
+    if sharded and use_pallas:
+        print("multi-device mesh: Pallas kernels run under shard_map "
+              "(batch-partitioned); non-divisible sites take the XLA paths")
 
     dtype_key = cfg.get("compute_dtype") or cfg.mixed_precision or "bfloat16"
     if cfg.get("compute_dtype") == "bfloat16" and cfg.mixed_precision == "no":

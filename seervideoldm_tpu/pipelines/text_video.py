@@ -102,9 +102,12 @@ class SeerPipeline:
     """
 
     def __init__(self, models: SeerModels, schedule: Optional[DiffusionSchedule] = None,
-                 mesh=None):
+                 mesh=None, donate_latents: bool = True):
         self.m = models
         self.mesh = mesh
+        # donate x_T into the DDIM scan (halves transient latent HBM);
+        # config knob `donate_latents: false` keeps the caller's buffer alive
+        self.donate_latents = donate_latents
         # reference sampler schedule defaults (ddim_video.py:27-29)
         self.schedule = schedule or DiffusionSchedule.create(1000)
 
@@ -182,7 +185,7 @@ class SeerPipeline:
                 cond_frame=cond_frame,
             )
 
-        return jax.jit(fn, donate_argnums=(1,))
+        return jax.jit(fn, donate_argnums=(1,) if self.donate_latents else ())
 
     def sample_latents(
         self,

@@ -131,7 +131,8 @@ def test_use_pallas_attention_knob_wired(tmp_path, monkeypatch):
 
 def test_seq_mesh_builds_seq_sharded_unet(tmp_path):
     """A mesh with a 'seq' axis must produce a UNet with frame-axis
-    activation sharding and pallas forced off."""
+    activation sharding and register the mesh for shard_map-wrapped
+    Pallas kernel dispatch (the kernels stay ENABLED since r3.5)."""
     import importlib
 
     import jax
@@ -153,14 +154,59 @@ def test_seq_mesh_builds_seq_sharded_unet(tmp_path):
                      "intermediate_size": 64, "num_hidden_layers": 2,
                      "num_attention_heads": 4, "max_position_embeddings": 16},
             "fstext": {"n_heads": 4, "num_layers": 1}}))
+    from seervideoldm_tpu.ops.pallas import get_activation_mesh, set_activation_mesh
+
     try:
         models, _ = loading.load_models(cfg, jax.random.PRNGKey(0), mesh=mesh)
         sh = models.unet.activation_sharding
         assert sh is not None
         assert sh.spec == jax.sharding.PartitionSpec(
             "data", "seq", None, None, None)
-        assert swat._DISABLE  # pallas forced off under seq sharding
+        assert not swat._DISABLE  # kernels stay enabled under seq sharding
+        reg = get_activation_mesh()
+        assert reg is not None and reg[0] is mesh
+        assert reg[1] == ("data", "seq")  # batch axes for shard_map dispatch
     finally:
+        set_activation_mesh(None)
         swat._DISABLE = False
         importlib.import_module(
             "seervideoldm_tpu.ops.pallas.flash_attention")._DISABLE = False
+
+
+def test_center_crop_false_rejected(tmp_path):
+    with pytest.raises(ValueError, match="center_crop"):
+        load_config(_write_cfg(tmp_path, center_crop=False))
+    assert load_config(_write_cfg(tmp_path, center_crop=True)).center_crop
+
+
+def test_donate_latents_knob_wired():
+    """`donate_latents: false` must keep the caller's x_T buffer alive."""
+    import jax.numpy as jnp
+
+    from seervideoldm_tpu.models.clip_text import CLIPTextConfig
+    from seervideoldm_tpu.models.unet3d import SeerUNetConfig
+    from seervideoldm_tpu.models.vae import VAEConfig
+    from seervideoldm_tpu.pipelines.text_video import SeerModels, SeerPipeline
+    import jax
+
+    models = SeerModels.initialize(
+        jax.random.PRNGKey(0), num_frames=4,
+        unet_config=SeerUNetConfig(block_out_channels=(32, 64),
+                                   layers_per_block=1, norm_num_groups=8,
+                                   cross_attention_dim=32, attention_head_dim=4),
+        vae_config=VAEConfig(block_out_channels=(16, 32), layers_per_block=1,
+                             norm_num_groups=8),
+        clip_config=CLIPTextConfig(vocab_size=128, hidden_size=32,
+                                   intermediate_size=64, num_hidden_layers=2,
+                                   num_attention_heads=4,
+                                   max_position_embeddings=16),
+        fstext_kwargs=dict(n_heads=4, num_layers=1),
+        dtype=jnp.float32, latent_size=8,
+    )
+    pipe = SeerPipeline(models, donate_latents=False)
+    x_T = jnp.zeros((1, 3, 8, 8, 4))
+    x0 = jnp.zeros((1, 1, 8, 8, 4))
+    ctx = jnp.zeros((1, 4, 16, 32))
+    pipe.sample_latents(x_T, x0, ctx, ddim_steps=2, guidance_scale=1.0)
+    # not donated: the input buffer must still be readable
+    assert float(x_T.sum()) == 0.0

@@ -110,3 +110,38 @@ def test_eta_noise_changes_output_deterministically():
                                      eta_noise_key=jax.random.PRNGKey(1)))
     np.testing.assert_array_equal(o1, o2)
     assert not np.allclose(o1, o3)
+
+
+def test_unequal_context_cfg_two_call_branch():
+    """Unequal uncond/cond context shapes take the reference's two-call CFG
+    branch (ddim_video.py:200-207).  A context stub invariant to token
+    duplication makes the two-call result comparable to the batched path:
+    doubling the uncond tokens must not change the sample."""
+    tables = make_tables(2)
+    calls = []
+
+    def unet(x, t, ctx, cf):
+        calls.append((x.shape[0], ctx.shape))
+        # eps depends on the context only through its per-sample token-mean
+        m = jnp.tanh(ctx.mean(axis=(1, 2, 3)))
+        return x * m[:, None, None, None, None]
+
+    x = jnp.ones((2, 3, 4, 4, 4)) * 0.5
+    x0_emb = jnp.ones((2, 1, 4, 4, 4))
+    cond = jnp.linspace(-1.0, 1.0, 2 * 4 * 7 * 8).reshape(2, 4, 7, 8)
+    uncond = jnp.full((2, 4, 7, 8), 0.25)
+
+    want = np.asarray(ddim_sample_loop(
+        unet, x, tables, cond, x0_emb=x0_emb, uncond_context=uncond,
+        guidance_scale=7.5))
+    assert all(b == 4 for b, _ in calls)  # batched [uncond; cond]
+    calls.clear()
+
+    uncond2 = jnp.concatenate([uncond, uncond], axis=2)  # 14 tokens
+    got = np.asarray(ddim_sample_loop(
+        unet, x, tables, cond, x0_emb=x0_emb, uncond_context=uncond2,
+        guidance_scale=7.5))
+    # two separate calls per step, with the two distinct context shapes
+    assert all(b == 2 for b, _ in calls)
+    assert {shp for _, shp in calls} == {(2, 4, 14, 8), (2, 4, 7, 8)}
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
