@@ -38,9 +38,13 @@ def main() -> None:
     parser.add_argument("--iters", type=int, default=3)
     parser.add_argument("--skip_e2e", action="store_true",
                         help="latents-only (rounds 1-2 protocol)")
+    parser.add_argument("--sampler", default="ddim", choices=["ddim", "dpm++"],
+                        help="headline protocol is ddim (reference parity); "
+                             "dpm++ probes the fast-sampler path")
     args = parser.parse_args()
 
     from seervideoldm_tpu.diffusion.ddim import ddim_sample_loop
+    from seervideoldm_tpu.diffusion.dpm_solver import dpm_solver_sample_loop
     from seervideoldm_tpu.diffusion.schedules import DiffusionSchedule
     from seervideoldm_tpu.models.fstext import FSTextTransformer
     from seervideoldm_tpu.models.unet3d import SeerUNet
@@ -89,7 +93,8 @@ def main() -> None:
         def unet_apply(x, t, ctx, cf):
             return unet.apply({"params": unet_params}, x, t, ctx, cf)
 
-        return ddim_sample_loop(
+        loop = dpm_solver_sample_loop if args.sampler == "dpm++" else ddim_sample_loop
+        return loop(
             unet_apply, x_T, tables, context, x0_emb=x0_emb,
             uncond_context=uncond, guidance_scale=7.5,
         )
@@ -169,7 +174,7 @@ def main() -> None:
             "protocol": "e2e clip (VAE encode + DDIM + VAE decode)"
                         if not args.skip_e2e else "latents only",
             "resolution": args.resolution, "num_frames": f,
-            "ddim_steps": args.ddim_steps,
+            "ddim_steps": args.ddim_steps, "sampler": args.sampler,
             "e2e_clip_latency_s": round(dt_e2e, 4),
             "latents_only_latency_s": round(dt_lat, 4),
             "latents_only_frames_per_sec_per_chip": round(

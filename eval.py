@@ -110,6 +110,7 @@ def main() -> None:
             tok_uc["input_ids"], tok_uc["attention_mask"],
             num_frames=cfg.num_frames, rng=jax.random.fold_in(k_eval, i),
             ddim_steps=cfg.ddim_steps, guidance_scale=cfg.scale,
+            sampler=cfg.sampler,
         )
         # prepend cond frames to prediction (eval.py:225)
         pred = np.concatenate(

@@ -65,6 +65,7 @@ def main() -> None:
         tok_uc["input_ids"], tok_uc["attention_mask"],
         num_frames=cfg.num_frames, rng=k_sample,
         ddim_steps=cfg.ddim_steps, guidance_scale=cfg.scale,
+        sampler=cfg.sampler,
     )
     cond01 = np.asarray((cond + 1.0) / 2.0)
     os.makedirs(cfg.output_dir, exist_ok=True)

@@ -45,6 +45,53 @@ UNetApply = Callable[..., jnp.ndarray]
 #   context: (b, f_ctx, l, d) FSText embeddings.
 
 
+def make_eps_fn(
+    unet_apply: UNetApply,
+    context: jnp.ndarray,
+    x0_emb: Optional[jnp.ndarray],
+    uncond_context: Optional[jnp.ndarray],
+    guidance_scale: float,
+    cond_frame: int,
+) -> Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
+    """Build ``eps(img, t) -> e_t`` with the reference's conditioning
+    mechanics (``ddim_video.py:185-211``), shared by every sampler:
+
+    - clean cond-frame latents ``x0_emb`` concatenated before each UNet
+      call, their predicted noise sliced back off;
+    - CFG as one batched ``[uncond; cond]`` call when context shapes match,
+      two separate calls otherwise (``:200-207``);
+    - returned ``e_t`` is fp32 and covers only the future frames.
+    """
+    b = context.shape[0]
+    use_cfg = uncond_context is not None and guidance_scale != 1.0
+    cond_f = 0 if x0_emb is None else x0_emb.shape[1]
+    unequal_cfg = use_cfg and uncond_context.shape[1:] != context.shape[1:]
+    if use_cfg and not unequal_cfg:
+        ctx_in = jnp.concatenate([uncond_context, context], axis=0)
+    else:
+        ctx_in = context
+
+    def eps(img: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+        x_cat = img if x0_emb is None else jnp.concatenate([x0_emb, img], axis=1)
+        ts = jnp.full((b,), t, dtype=jnp.int32)
+        if unequal_cfg:
+            e_uncond = unet_apply(x_cat, ts, uncond_context, cond_frame)[:, cond_f:]
+            e_cond = unet_apply(x_cat, ts, context, cond_frame)[:, cond_f:]
+            e_t = e_uncond + guidance_scale * (e_cond - e_uncond)
+        elif use_cfg:
+            x_in = jnp.concatenate([x_cat, x_cat], axis=0)
+            t_in = jnp.concatenate([ts, ts], axis=0)
+            e_all = unet_apply(x_in, t_in, ctx_in, cond_frame)
+            e_all = e_all[:, cond_f:]
+            e_uncond, e_cond = jnp.split(e_all, 2, axis=0)
+            e_t = e_uncond + guidance_scale * (e_cond - e_uncond)
+        else:
+            e_t = unet_apply(x_cat, ts, ctx_in, cond_frame)[:, cond_f:]
+        return e_t.astype(jnp.float32)
+
+    return eps
+
+
 def ddim_sample_loop(
     unet_apply: UNetApply,
     x_T: jnp.ndarray,
@@ -62,10 +109,6 @@ def ddim_sample_loop(
     ``tables`` must be reverse-ordered (index 0 = highest timestep), as
     produced by ``DiffusionSchedule.ddim_tables``.
     """
-    b = x_T.shape[0]
-    use_cfg = uncond_context is not None and guidance_scale != 1.0
-    cond_f = 0 if x0_emb is None else x0_emb.shape[1]
-
     timesteps = jnp.asarray(tables.timesteps)
     alphas = jnp.asarray(tables.alphas)
     alphas_prev = jnp.asarray(tables.alphas_prev)
@@ -73,35 +116,12 @@ def ddim_sample_loop(
     sqrt_one_minus = jnp.asarray(tables.sqrt_one_minus_alphas)
     num_steps = timesteps.shape[0]
 
-    # Reference ddim_video.py:200-207: CFG is one batched [uncond; cond]
-    # call when the context shapes match, two separate calls otherwise
-    # (e.g. an uncond embedding with a different token count).
-    unequal_cfg = use_cfg and uncond_context.shape[1:] != context.shape[1:]
-    if use_cfg and not unequal_cfg:
-        # One batched UNet call per step: [uncond; cond] (reference order).
-        ctx_in = jnp.concatenate([uncond_context, context], axis=0)
-    else:
-        ctx_in = context
+    eps_fn = make_eps_fn(unet_apply, context, x0_emb, uncond_context,
+                         guidance_scale, cond_frame)
 
     def step(img, per_step):
         t, a_t, a_prev, sigma_t, sqrt_1m_at, step_idx = per_step
-        x_cat = img if x0_emb is None else jnp.concatenate([x0_emb, img], axis=1)
-        ts = jnp.full((b,), t, dtype=jnp.int32)
-        if unequal_cfg:
-            e_uncond = unet_apply(x_cat, ts, uncond_context, cond_frame)[:, cond_f:]
-            e_cond = unet_apply(x_cat, ts, context, cond_frame)[:, cond_f:]
-            e_t = e_uncond + guidance_scale * (e_cond - e_uncond)
-        elif use_cfg:
-            x_in = jnp.concatenate([x_cat, x_cat], axis=0)
-            t_in = jnp.concatenate([ts, ts], axis=0)
-            e_all = unet_apply(x_in, t_in, ctx_in, cond_frame)
-            e_all = e_all[:, cond_f:]
-            e_uncond, e_cond = jnp.split(e_all, 2, axis=0)
-            e_t = e_uncond + guidance_scale * (e_cond - e_uncond)
-        else:
-            e_t = unet_apply(x_cat, ts, ctx_in, cond_frame)[:, cond_f:]
-
-        e_t = e_t.astype(jnp.float32)
+        e_t = eps_fn(img, t)
         img32 = img.astype(jnp.float32)
         pred_x0 = (img32 - sqrt_1m_at * e_t) / jnp.sqrt(a_t)
         dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma_t**2, 0.0)) * e_t

@@ -1,0 +1,95 @@
+"""DPM-Solver++(2M) video sampler (beyond the reference, which only has DDIM).
+
+A second-order multistep solver for the diffusion probability-flow ODE in
+data-prediction form (Lu et al., "DPM-Solver++", arXiv:2211.01095): with
+``α_t = sqrt(ᾱ_t)``, ``σ_t = sqrt(1-ᾱ_t)`` and log-SNR ``λ_t = log(α_t/σ_t)``,
+the exact-linear-term update from state ``t`` to the less-noisy state ``s`` is
+
+    x_s = (σ_s/σ_t)·x_t − α_s·(e^{−h} − 1)·D,    h = λ_s − λ_t > 0,
+
+where ``D`` is an estimate of the data prediction ``x0`` on [t, s]:
+first order ``D = x0_t`` (which reduces EXACTLY to the DDIM η=0 update —
+verified in ``tests/test_dpm_solver.py``), second order (2M) adds the
+multistep correction ``D = x0_t + (x0_t − x0_prev)/(2 r)``, ``r = h_prev/h``.
+
+Why it matters: the same UNet + checkpoints produce comparable sample
+quality at ~20 steps as DDIM at 50 — a ~2.5× cut in end-to-end clip latency
+with NO model changes.  Samples differ from DDIM's (different discretization
+of the same ODE), so the reference-parity benchmark protocol stays DDIM-50;
+``sampler: dpm++`` is an opt-in config knob.
+
+Conditioning mechanics (cond-frame re-concat, CFG batching/two-call) are
+shared with DDIM via ``diffusion.ddim.make_eps_fn`` — reference semantics
+``ddim_video.py:185-211`` apply identically.
+
+Same single-``lax.scan`` structure as ``ddim_sample_loop``: the UNet is
+traced once, the latent carry is donated by jitting callers.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .ddim import UNetApply, make_eps_fn
+from .schedules import DDIMTables
+
+
+def dpm_solver_sample_loop(
+    unet_apply: UNetApply,
+    x_T: jnp.ndarray,
+    tables: DDIMTables,
+    context: jnp.ndarray,
+    x0_emb: Optional[jnp.ndarray] = None,
+    uncond_context: Optional[jnp.ndarray] = None,
+    guidance_scale: float = 1.0,
+    cond_frame: int = 0,
+    order: int = 2,
+) -> jnp.ndarray:
+    """Run DPM-Solver++ over the same reverse-ordered ``tables`` grid the
+    DDIM sampler uses (index 0 = highest timestep); returns final latents
+    ``(b, f, h, w, c)``.  ``order=1`` is exactly DDIM η=0; ``order=2`` is
+    the 2M multistep scheme."""
+    if order not in (1, 2):
+        raise ValueError(f"order must be 1 or 2, got {order}")
+
+    timesteps = jnp.asarray(tables.timesteps)
+    alphas = jnp.asarray(tables.alphas)
+    alphas_prev = jnp.asarray(tables.alphas_prev)
+    num_steps = timesteps.shape[0]
+
+    eps_fn = make_eps_fn(unet_apply, context, x0_emb, uncond_context,
+                         guidance_scale, cond_frame)
+
+    def lam(a):  # log-SNR from ᾱ
+        return 0.5 * (jnp.log(a) - jnp.log1p(-a))
+
+    def step(carry, per_step):
+        img, x0_prev, h_prev = carry
+        t, a_t, a_prev, step_idx = per_step
+        e_t = eps_fn(img, t)
+        img32 = img.astype(jnp.float32)
+
+        alpha_t, sigma_t = jnp.sqrt(a_t), jnp.sqrt(1.0 - a_t)
+        alpha_s, sigma_s = jnp.sqrt(a_prev), jnp.sqrt(1.0 - a_prev)
+        x0 = (img32 - sigma_t * e_t) / alpha_t
+        h = lam(a_prev) - lam(a_t)  # > 0 (noise decreases)
+
+        if order == 2:
+            # 2M correction; the first step has no history -> first order.
+            # h_prev is initialized to 1.0 so r is always well-defined.
+            r = h_prev / h
+            d2 = x0 + (x0 - x0_prev) / (2.0 * r)
+            d = jnp.where(step_idx == 0, x0, d2)
+        else:
+            d = x0
+
+        x_s = (sigma_s / sigma_t) * img32 - alpha_s * jnp.expm1(-h) * d
+        return (x_s.astype(img.dtype), x0, h), None
+
+    per_step = (timesteps, alphas, alphas_prev,
+                jnp.arange(num_steps, dtype=jnp.int32))
+    init = (x_T, jnp.zeros_like(x_T, dtype=jnp.float32), jnp.asarray(1.0))
+    (final, _, _), _ = jax.lax.scan(step, init, per_step)
+    return final

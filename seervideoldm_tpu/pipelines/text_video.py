@@ -170,14 +170,21 @@ class SeerPipeline:
     # --- sampling ---
     @functools.lru_cache(maxsize=8)
     def _sample_fn(self, ddim_steps: int, guidance_scale: float, cond_frame: int,
-                   use_cfg: bool):
+                   use_cfg: bool, sampler: str = "ddim"):
         tables = self.schedule.ddim_tables(ddim_steps, eta=0.0)
+        if sampler in ("dpm++", "dpmpp"):
+            from ..diffusion.dpm_solver import dpm_solver_sample_loop
+            loop = dpm_solver_sample_loop
+        elif sampler == "ddim":
+            loop = ddim_sample_loop
+        else:
+            raise ValueError(f"unknown sampler {sampler!r} (ddim or dpm++)")
 
         def fn(unet_params, x_T, x0_emb, context, uncond_context):
             def unet_apply(x, t, ctx, cf):
                 return self.m.unet.apply({"params": unet_params}, x, t, ctx, cf)
 
-            return ddim_sample_loop(
+            return loop(
                 unet_apply, x_T, tables, context,
                 x0_emb=x0_emb,
                 uncond_context=uncond_context if use_cfg else None,
@@ -196,8 +203,10 @@ class SeerPipeline:
         ddim_steps: int = 30,
         guidance_scale: float = 7.5,
         cond_frame: int = 0,
+        sampler: str = "ddim",
     ) -> jnp.ndarray:
-        """DDIM sample future-frame latents.
+        """Sample future-frame latents (DDIM by default; ``sampler="dpm++"``
+        uses DPM-Solver++ 2M on the same step grid).
 
         x_T: (b, f2, h', w', 4) noise; x0_emb: (b, f1, h', w', 4) clean
         conditioning latents; context: (b, f1+f2, 77, 768) FSText embedding;
@@ -205,7 +214,8 @@ class SeerPipeline:
         ``scale == 1.0`` disables CFG (reference ddim_sampling_utils.py:23-24).
         """
         use_cfg = uncond_context is not None and guidance_scale != 1.0
-        fn = self._sample_fn(ddim_steps, float(guidance_scale), int(cond_frame), use_cfg)
+        fn = self._sample_fn(ddim_steps, float(guidance_scale), int(cond_frame),
+                             use_cfg, sampler)
         if not use_cfg:
             uncond_context = context  # placeholder, unused
         return fn(self.m.unet_params, x_T, x0_emb, context, uncond_context)
@@ -222,6 +232,7 @@ class SeerPipeline:
         ddim_steps: int = 30,
         guidance_scale: float = 7.5,
         cond_frame: int = 0,
+        sampler: str = "ddim",
     ) -> jnp.ndarray:
         """Full path: cond frames (b, f1, h, w, 3) in [-1,1] + tokenized prompt
         -> decoded future frames (b, f2, h, w, 3) in [0,1]."""
@@ -253,6 +264,7 @@ class SeerPipeline:
         )
         latents = self.sample_latents(
             x_T, x0_emb, context, uncond_context,
-            ddim_steps=ddim_steps, guidance_scale=guidance_scale, cond_frame=cond_frame,
+            ddim_steps=ddim_steps, guidance_scale=guidance_scale,
+            cond_frame=cond_frame, sampler=sampler,
         )
         return self.vae_decode_video(latents)
