@@ -171,8 +171,9 @@ def main() -> None:
         "unit": "frames/s/chip",
         "vs_baseline": round(vs_baseline, 4),
         "detail": {
-            "protocol": "e2e clip (VAE encode + DDIM + VAE decode)"
-                        if not args.skip_e2e else "latents only",
+            "protocol": (f"e2e clip (VAE encode + {args.sampler} + VAE decode)"
+                         if not args.skip_e2e else
+                         f"latents only ({args.sampler})"),
             "resolution": args.resolution, "num_frames": f,
             "ddim_steps": args.ddim_steps, "sampler": args.sampler,
             "e2e_clip_latency_s": round(dt_e2e, 4),

@@ -46,11 +46,19 @@ def dpm_solver_sample_loop(
     guidance_scale: float = 1.0,
     cond_frame: int = 0,
     order: int = 2,
+    lower_order_final: bool = True,
 ) -> jnp.ndarray:
     """Run DPM-Solver++ over the same reverse-ordered ``tables`` grid the
     DDIM sampler uses (index 0 = highest timestep); returns final latents
     ``(b, f, h, w, c)``.  ``order=1`` is exactly DDIM η=0; ``order=2`` is
-    the 2M multistep scheme."""
+    the 2M multistep scheme.
+
+    ``lower_order_final`` drops to first order on the terminal step: the
+    reference's +1-offset grid has a disproportionately large final log-SNR
+    jump (h 0.08→1.33 at 50 steps, 0.21→1.92 at 20), so ``r = h_prev/h`` is
+    tiny there and the 2M correction extrapolates the x0 difference ~5×
+    onto the step that directly produces the output — the known terminal
+    instability at low step counts.  Keep it on."""
     if order not in (1, 2):
         raise ValueError(f"order must be 1 or 2, got {order}")
 
@@ -77,11 +85,15 @@ def dpm_solver_sample_loop(
         h = lam(a_prev) - lam(a_t)  # > 0 (noise decreases)
 
         if order == 2:
-            # 2M correction; the first step has no history -> first order.
+            # 2M correction; the first step has no history and the last is
+            # kept first-order (see lower_order_final in the docstring).
             # h_prev is initialized to 1.0 so r is always well-defined.
             r = h_prev / h
             d2 = x0 + (x0 - x0_prev) / (2.0 * r)
-            d = jnp.where(step_idx == 0, x0, d2)
+            first_order = step_idx == 0
+            if lower_order_final:
+                first_order = first_order | (step_idx == num_steps - 1)
+            d = jnp.where(first_order, x0, d2)
         else:
             d = x0
 

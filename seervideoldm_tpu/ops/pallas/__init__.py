@@ -7,6 +7,12 @@ from .flash_attention import flash_attention, flash_attention_available
 # partitioning over the batch dim — embarrassingly parallel, no collectives
 # inside); without this, XLA either rejects the sharded operands or
 # replicates the whole computation onto every device.
+#
+# Process-global BY DESIGN: the CLI pattern is one model stack per process,
+# and load_models() (re)sets this on every call — including back to None
+# for single-device runs.  Code that builds models by hand on a different
+# mesh in the same process must call set_activation_mesh itself (the
+# sharded-kernel tests do, with finally-blocks).
 _ACTIVATION_MESH = None  # (Mesh, tuple[axis, ...]) or None
 
 

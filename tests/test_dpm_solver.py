@@ -174,3 +174,60 @@ def test_sampler_config_validation(tmp_path):
     assert load_config(write()).sampler == "ddim"
     with pytest.raises(ValueError, match="sampler"):
         load_config(write(sampler="euler"))
+
+
+def test_lower_order_final_guards_terminal_jump():
+    """The reference grid ends with a disproportionately large log-SNR jump;
+    the 2M correction extrapolates across it unless the terminal step drops
+    to first order (lower_order_final, on by default)."""
+    from seervideoldm_tpu.diffusion.schedules import DDIMTables
+
+    def lam_of(a):
+        return 0.5 * np.log(a / (1 - a))
+
+    def tables_from_lams(lams):
+        a = 1.0 / (1.0 + np.exp(-2.0 * np.asarray(lams)))
+        return DDIMTables(
+            timesteps=np.linspace(900, 1, len(lams) - 1).astype(np.int64),
+            alphas=a[:-1], alphas_prev=a[1:],
+            sigmas=np.zeros(len(lams) - 1),
+            sqrt_one_minus_alphas=np.sqrt(1.0 - a[:-1]),
+        )
+
+    # coarse: 8 uniform steps then one ~6x-larger terminal jump
+    coarse_lams = np.append(np.linspace(lam_of(0.02), lam_of(0.9), 9),
+                            lam_of(0.999))
+    fine = tables_from_lams(np.linspace(lam_of(0.02), lam_of(0.999), 257))
+    coarse = tables_from_lams(coarse_lams)
+
+    def unet(x, t, ctx, cf):
+        # high-frequency term mimics imperfect real predictions — on a
+        # perfectly smooth oracle the unguarded 2M extrapolation would
+        # actually win; the guard exists for the jittery real world
+        return jnp.tanh(x) * 0.8 + 0.05 * jnp.sin(50 * x)
+
+    x = jnp.asarray(np.random.RandomState(5).randn(1, 2, 4, 4, 4), jnp.float32)
+    ctx = jnp.zeros((1, 2, 1, 8))
+    ref = np.asarray(ddim_sample_loop(unet, x, fine, ctx))
+    guarded = np.asarray(dpm_solver_sample_loop(
+        unet, x, coarse, ctx, order=2, lower_order_final=True))
+    unguarded = np.asarray(dpm_solver_sample_loop(
+        unet, x, coarse, ctx, order=2, lower_order_final=False))
+    err_g = np.abs(guarded - ref).mean()
+    err_u = np.abs(unguarded - ref).mean()
+    assert err_g < err_u, (err_g, err_u)
+
+    # and the guard is exactly "first order on the terminal step": running
+    # 2M over all-but-last then one order-1 step reproduces it
+    head = DDIMTables(
+        timesteps=coarse.timesteps[:-1], alphas=coarse.alphas[:-1],
+        alphas_prev=coarse.alphas_prev[:-1], sigmas=coarse.sigmas[:-1],
+        sqrt_one_minus_alphas=coarse.sqrt_one_minus_alphas[:-1])
+    tail = DDIMTables(
+        timesteps=coarse.timesteps[-1:], alphas=coarse.alphas[-1:],
+        alphas_prev=coarse.alphas_prev[-1:], sigmas=coarse.sigmas[-1:],
+        sqrt_one_minus_alphas=coarse.sqrt_one_minus_alphas[-1:])
+    mid = dpm_solver_sample_loop(unet, x, head, ctx, order=2,
+                                 lower_order_final=False)
+    want = np.asarray(dpm_solver_sample_loop(unet, mid, tail, ctx, order=1))
+    np.testing.assert_allclose(guarded, want, rtol=1e-5, atol=1e-6)
