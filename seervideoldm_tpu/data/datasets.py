@@ -35,6 +35,14 @@ from .transforms import cast_num_frames, load_frame
 def _load_clip(paths: Sequence[str], resolution: int, num_frames: int,
                flip_key: tuple | None = None,
                force_num_frames: bool = True) -> np.ndarray:
+    if not paths:
+        # a missing/empty rawframes dir would otherwise become a silently
+        # zero-padded all-black clip (or an opaque np.stack crash on the
+        # PIL path) paired with a real prompt — corrupting training
+        raise FileNotFoundError(
+            "video clip has no frames on disk (empty or missing rawframes "
+            "directory for this sample)"
+        )
     frames = None
     if all(str(p).lower().endswith((".jpg", ".jpeg")) for p in paths):
         from .native import decode_frames

@@ -58,6 +58,13 @@ class DataLoader:
 
     def _indices(self) -> np.ndarray:
         n = len(self.dataset)
+        # truncate to a multiple of num_shards BEFORE the strided split so
+        # every rank sees the same shard length and the same batch count —
+        # unequal counts would desync multi-process epochs (ranks shuffling
+        # into the next epoch early) and hang the final collective when one
+        # rank runs out of batches (torch's DistributedSampler pads for the
+        # same reason; we drop the tail instead, deterministically)
+        n -= n % self.num_shards
         idx = np.arange(n)
         if self.shuffle:
             rng = np.random.default_rng((self.seed, self.epoch))
@@ -65,13 +72,19 @@ class DataLoader:
         # strided shard per data-parallel host (every num_shards-th index)
         return idx[self.shard_index :: self.num_shards]
 
+    def _num_batches(self, shard_len: int) -> int:
+        if self.drop_last:
+            return shard_len // self.batch_size
+        return -(-shard_len // self.batch_size)
+
     def __len__(self) -> int:
-        n = len(self._indices())
-        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        # after truncation every shard has exactly this many items
+        shard_len = len(self.dataset) // self.num_shards
+        return self._num_batches(shard_len)
 
     def __iter__(self) -> Iterator[tuple[np.ndarray, list[str]]]:
         indices = self._indices()
-        nb = len(self)
+        nb = self._num_batches(len(indices))
         first = min(self._skip, nb)
         self._skip = 0  # consumed; later epochs start from batch 0
         out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)

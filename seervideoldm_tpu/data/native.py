@@ -11,6 +11,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 from typing import Optional, Sequence
 
 import numpy as np
@@ -20,32 +21,37 @@ _LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libframeloader.so"))
 
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
+# first use happens from the loader's worker thread pool: without a lock
+# two threads could race into `make` concurrently (corrupt .so) or dlopen
+# a half-written binary
+_load_lock = threading.Lock()
 
 
 def _load() -> Optional[ctypes.CDLL]:
     global _lib, _tried
-    if _lib is not None or _tried:
-        return _lib
-    _tried = True
-    if not os.path.exists(_LIB_PATH):
+    with _load_lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_LIB_PATH):
+            try:
+                subprocess.run(
+                    ["make", "-C", os.path.abspath(_NATIVE_DIR)],
+                    check=True, capture_output=True, timeout=120,
+                )
+            except Exception:
+                return None
         try:
-            subprocess.run(
-                ["make", "-C", os.path.abspath(_NATIVE_DIR)],
-                check=True, capture_output=True, timeout=120,
-            )
-        except Exception:
+            lib = ctypes.CDLL(_LIB_PATH)
+            lib.decode_frames.restype = ctypes.c_int
+            lib.decode_frames.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+            ]
+            _lib = lib
+        except OSError:
             return None
-    try:
-        lib = ctypes.CDLL(_LIB_PATH)
-        lib.decode_frames.restype = ctypes.c_int
-        lib.decode_frames.argtypes = [
-            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
-            ctypes.POINTER(ctypes.c_float), ctypes.c_int,
-        ]
-        _lib = lib
-    except OSError:
-        return None
-    return _lib
+        return _lib
 
 
 def native_available() -> bool:

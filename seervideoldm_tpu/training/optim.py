@@ -38,7 +38,11 @@ def lr_schedule(name: str, learning_rate: float, warmup_steps: int,
         )
     if name == "linear":
         warmup = optax.linear_schedule(0.0, learning_rate, warmup_steps)
-        decay = optax.linear_schedule(learning_rate, 0.0, total_steps - warmup_steps)
+        # same guard as cosine: total_steps <= warmup_steps would give
+        # linear_schedule a non-positive transition count, silently pinning
+        # the lr at peak forever instead of decaying
+        decay = optax.linear_schedule(
+            learning_rate, 0.0, max(total_steps, warmup_steps + 1) - warmup_steps)
         return optax.join_schedules([warmup, decay], [warmup_steps])
     if name in ("constant", "constant_with_warmup"):
         warmup = optax.linear_schedule(0.0, learning_rate, warmup_steps)

@@ -82,9 +82,8 @@ def prepare_batch_fn(models) -> Callable:
                  vae_params, cond_frames: int):
         b, f, h, w, c = video.shape
         clip_emb = clip.apply({"params": clip_params}, input_ids, attention_mask)
-        k0, k1 = jax.random.split(rng)
         flat = video.reshape(b * f, h, w, c)
-        z = vae.apply({"params": vae_params}, flat, k0, method=vae.encode) * VAE_SCALE
+        z = vae.apply({"params": vae_params}, flat, rng, method=vae.encode) * VAE_SCALE
         z = z.reshape(b, f, *z.shape[1:])
         return {
             "latents_x0": z[:, :cond_frames],

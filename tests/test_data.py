@@ -202,3 +202,37 @@ def test_loader_wires_flip_state_into_dataset():
     loader = DataLoader(ds, 2, shuffle=True, seed=11, num_workers=1)
     loader.set_epoch(5)
     assert ds.calls == [(11, 5)]
+
+
+def test_loader_shards_equal_batch_counts_on_ragged_dataset():
+    """Ranks must see IDENTICAL batch counts (torch DistributedSampler
+    semantics): a dataset not divisible by num_shards is truncated, never
+    split unevenly — unequal counts desync multi-process epochs and hang
+    the final collective."""
+
+    class DS:
+        def __len__(self):
+            return 23  # 23 % 2 == 1
+
+        def __getitem__(self, i):
+            return np.full((1, 2, 2, 3), i, dtype=np.float32), str(i)
+
+    seen = []
+    counts = []
+    for shard in range(2):
+        ld = DataLoader(DS(), batch_size=3, shuffle=True, seed=1,
+                        shard_index=shard, num_shards=2, num_workers=1)
+        ld.set_epoch(0)
+        batches = list(ld)
+        counts.append(len(batches))
+        assert len(batches) == len(ld)  # __len__ contract
+        seen += [int(v[0, 0, 0, 0, 0]) for b, _ in batches for v in [b]]
+    assert counts[0] == counts[1] == 3  # 22 // 2 = 11 items -> 3 batches of 3
+    assert len(seen) == len(set(seen))  # shards never overlap
+
+
+def test_empty_clip_raises_clearly():
+    from seervideoldm_tpu.data.datasets import _load_clip
+
+    with pytest.raises(FileNotFoundError, match="no frames"):
+        _load_clip([], 8, 4)

@@ -207,6 +207,7 @@ def main() -> None:
     elif resume_skip > steps_per_epoch:
         print("resume: dataset size changed — replaying the epoch from the start")
         resume_skip = 0
+    epoch = start_epoch  # final-save metadata even if the loop body never runs
     for epoch in range(start_epoch, cfg.num_train_epochs):
         loader.set_epoch(epoch, skip_batches=resume_skip if epoch == start_epoch else 0)
         for videos, prompts in loader:
@@ -293,6 +294,39 @@ def main() -> None:
             break
     if progress is not None:
         progress.close()
+
+    # --- end-of-training finalization ---
+    # flush metric entries still pending from a partial 10-entry window
+    for gs, dev_loss in pending_losses:
+        loss = float(dev_loss)
+        lr = float(schedule_fn(gs))
+        losses_train.update(loss, gs)
+        lr_meter.update(lr, gs)
+        if writer is not None:
+            writer.add_scalar("loss", loss, gs)
+            writer.add_scalar("lr", lr, gs)
+    pending_losses = []
+    # save the final state unless the last step already did — otherwise up
+    # to save_steps-1 optimizer steps of training would be unloadable
+    if global_step > 0 and global_step % cfg.save_steps != 0:
+        from seervideoldm_tpu.parallel.distributed import barrier_sync
+
+        barrier_sync(f"save_final_{global_step}")
+        full = combine_params(state.params, frozen)
+        ckpt.save(global_step, state,
+                  params={"unet": full["unet"], "fstext": full["fstext"]})
+        if is_main_process():
+            import json
+
+            with open(os.path.join(
+                    cfg.output_dir,
+                    f"learned_sdunet-steps-{global_step}.json"), "w") as f:
+                json.dump({"epoch": epoch, "global_step": global_step,
+                           "lr_meter": lr_meter.ckpt(),
+                           "losses_train": losses_train.ckpt()}, f)
+            plot_graphs(losses_train, lr_meter, cfg.output_dir)
+    if writer is not None:
+        writer.close()
     ckpt.wait()
 
 
