@@ -87,10 +87,14 @@ def dpm_solver_sample_loop(
         if order == 2:
             # 2M correction; the first step has no history and the last is
             # kept first-order (see lower_order_final in the docstring).
-            # h_prev is initialized to 1.0 so r is always well-defined.
-            r = h_prev / h
+            # Degenerate grid steps (h == 0 from duplicated timesteps, e.g.
+            # quad-discretized tables whose leading points collide after
+            # int-cast, or h_prev == 0 carried from one) also drop to first
+            # order — the raw division would poison the latents with NaN.
+            degenerate = (h == 0.0) | (h_prev <= 0.0)
+            r = jnp.where(h_prev > 0.0, h_prev, 1.0) / jnp.where(h == 0.0, 1.0, h)
             d2 = x0 + (x0 - x0_prev) / (2.0 * r)
-            first_order = step_idx == 0
+            first_order = (step_idx == 0) | degenerate
             if lower_order_final:
                 first_order = first_order | (step_idx == num_steps - 1)
             d = jnp.where(first_order, x0, d2)

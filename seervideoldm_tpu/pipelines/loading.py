@@ -70,15 +70,16 @@ def load_models(cfg: Config, rng: jax.Array, latent_size: Optional[int] = None,
     partitioning — pallas_call is an opaque custom call GSPMD cannot
     partition on its own) instead of being disabled.
     """
-    from ..ops.pallas import set_activation_mesh, set_pallas_enabled
+    from ..ops.pallas import (get_activation_mesh, set_activation_mesh,
+                              set_pallas_enabled)
 
     use_pallas = bool(cfg.get("use_pallas_attention", True))
     set_pallas_enabled(use_pallas)
     seq_parallel = mesh is not None and mesh.shape.get("seq", 1) > 1
-    sharded = mesh is not None and any(
-        mesh.shape.get(a, 1) > 1 for a in ("data", "seq", "model"))
-    set_activation_mesh(mesh if sharded else None)
-    if sharded and use_pallas:
+    # set_activation_mesh itself filters to the batch-bearing axes with
+    # size > 1 and registers None when there are none (or mesh is None)
+    set_activation_mesh(mesh)
+    if get_activation_mesh() is not None and use_pallas:
         print("multi-device mesh: Pallas kernels run under shard_map "
               "(batch-partitioned); non-divisible sites take the XLA paths")
 

@@ -214,6 +214,9 @@ class SeerPipeline:
         ``scale == 1.0`` disables CFG (reference ddim_sampling_utils.py:23-24).
         """
         use_cfg = uncond_context is not None and guidance_scale != 1.0
+        # normalize the alias before the lru_cache key — "dpmpp" and "dpm++"
+        # must share one compiled executable
+        sampler = "dpm++" if sampler == "dpmpp" else sampler
         fn = self._sample_fn(ddim_steps, float(guidance_scale), int(cond_frame),
                              use_cfg, sampler)
         if not use_cfg:

@@ -231,3 +231,34 @@ def test_lower_order_final_guards_terminal_jump():
                                  lower_order_final=False)
     want = np.asarray(dpm_solver_sample_loop(unet, mid, tail, ctx, order=1))
     np.testing.assert_allclose(guarded, want, rtol=1e-5, atol=1e-6)
+
+
+def test_degenerate_grid_step_stays_finite():
+    """A grid containing a repeated ᾱ (h = 0 — e.g. quad discretization
+    whose leading points collide after int-cast): the 2M correction must
+    drop to first order on and after the degenerate step instead of
+    dividing by zero and poisoning the latents with NaN.  DDIM handles the
+    same grid without NaN, so the fast sampler must too."""
+    from seervideoldm_tpu.diffusion.schedules import DDIMTables
+
+    base = DiffusionSchedule.create(1000).ddim_tables(5, eta=0.0)
+    dup = lambda arr: np.concatenate([arr[:1], arr])  # duplicate step 0
+    tables = DDIMTables(
+        timesteps=dup(np.asarray(base.timesteps)),
+        alphas=dup(np.asarray(base.alphas)),
+        # first transition: alphas[0] -> alphas[0] (h = 0)
+        alphas_prev=np.concatenate([np.asarray(base.alphas[:1]),
+                                    np.asarray(base.alphas_prev)]),
+        sigmas=dup(np.asarray(base.sigmas)),
+        sqrt_one_minus_alphas=dup(np.asarray(base.sqrt_one_minus_alphas)),
+    )
+
+    def unet(x, t, ctx, cf):
+        return jnp.tanh(x) * 0.5
+
+    x = jnp.asarray(np.random.RandomState(6).randn(1, 2, 4, 4, 4), jnp.float32)
+    ctx = jnp.zeros((1, 2, 1, 8))
+    out = np.asarray(dpm_solver_sample_loop(unet, x, tables, ctx, order=2))
+    assert np.isfinite(out).all()
+    ddim_out = np.asarray(ddim_sample_loop(unet, x, tables, ctx))
+    assert np.isfinite(ddim_out).all()
