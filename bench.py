@@ -148,7 +148,10 @@ def main() -> None:
                   "TPU v4": 275e12, "TPU v6 lite": 918e12}
     kind = jax.devices()[0].device_kind
     peak = next((v for k, v in peak_flops.items() if kind.startswith(k)), None)
-    n_chips = jax.device_count()
+    # the benchmark program is single-device (no mesh): per-chip rate means
+    # the one chip actually used — dividing by jax.device_count() on a
+    # multi-chip host would deflate the rate while est_mfu assumed one chip
+    n_chips = 1
 
     dt_lat = run(latents_fn, "latents")
     dt_e2e = dt_lat if args.skip_e2e else run(e2e_fn, "e2e")

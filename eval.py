@@ -56,9 +56,11 @@ def main() -> None:
         from seervideoldm_tpu.evaluation.i3d import InceptionI3d, load_i3d_params
 
         i3d = InceptionI3d()
-        i3d_params = i3d.init(
-            jax.random.PRNGKey(0), jnp.zeros((1, cfg.num_frames, 224, 224, 3))
-        )["params"]
+        # jit the init: an unjitted init dispatches thousands of eager ops
+        # (minutes of dead startup over the remote-dispatch relay)
+        i3d_params = jax.jit(lambda k: i3d.init(
+            k, jnp.zeros((1, cfg.num_frames, 224, 224, 3))
+        )["params"])(jax.random.PRNGKey(0))
         if cfg.i3d_ckpt:
             i3d_params = load_i3d_params(cfg.i3d_ckpt, i3d_params)
         else:
@@ -73,9 +75,8 @@ def main() -> None:
         from seervideoldm_tpu.evaluation.inception_score import inception_score
 
         c3d = C3D()
-        c3d_params = c3d.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 112, 112, 3)))[
-            "params"
-        ]
+        c3d_params = jax.jit(lambda k: c3d.init(
+            k, jnp.zeros((1, 16, 112, 112, 3)))["params"])(jax.random.PRNGKey(0))
         if cfg.c3d_ckpt:
             mean_path = cfg.get("c3d_mean_path") or cfg.c3d_ckpt.replace(
                 "conv3d_deepnetA_ucf.npz", "mean2.npz"

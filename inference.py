@@ -6,7 +6,6 @@ with CFG, and writes GIFs + PNG grids (generated | VAE-recon | GT rows).
 """
 from __future__ import annotations
 
-import itertools
 
 import jax
 import jax.numpy as jnp
@@ -56,7 +55,13 @@ def main() -> None:
                         num_workers=int(cfg.get("num_workers", cfg.dataloader_num_workers)), drop_last=True,
                         shard_index=jax.process_index(), num_shards=jax.process_count())
 
-    it = itertools.cycle(iter(loader))
+    def batches():
+        # stream forever by re-creating the iterator — itertools.cycle
+        # would cache every decoded batch in host RAM for the whole run
+        while True:
+            yield from loader
+
+    it = batches()
     try:
         from tqdm.auto import tqdm
 
@@ -90,9 +95,14 @@ def main() -> None:
             gt_g = gather_across_hosts(np.asarray((gt + 1.0) / 2.0))
             cond_g = gather_across_hosts(np.asarray((cond + 1.0) / 2.0))
             if is_main_process():
+                # reference naming is i_ter*10+j (inference.py:203), which
+                # silently overwrites earlier GIFs once num_samples > 10;
+                # widen the stride only in that case so filenames stay
+                # reference-identical for the common num_samples <= 10
+                stride = max(10, cfg.num_samples)
                 save_visualization(
                     samples_g, recon_g, gt_g, cond_g,
-                    cfg.output_dir, global_step=i_ter * 10 + j,
+                    cfg.output_dir, global_step=i_ter * stride + j,
                     num_sample_rows=cfg.n_rows,
                 )
         print(f"iteration {i_ter + 1}/{cfg.sample_iter} done")

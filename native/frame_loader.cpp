@@ -67,6 +67,28 @@ class ThreadPool {
     cv_.notify_one();
   }
 
+  // Grow to n_threads workers (never shrinks). The pool is global and
+  // sized by the FIRST call; without this a small probe call would cap
+  // decode throughput for the whole run.
+  void grow(int n_threads) {
+    std::unique_lock<std::mutex> lock(mu_);
+    while ((int)workers_.size() < n_threads) {
+      workers_.emplace_back([this] {
+        for (;;) {
+          std::function<void()> task;
+          {
+            std::unique_lock<std::mutex> lock(mu_);
+            cv_.wait(lock, [this] { return stop_ || !tasks_.empty(); });
+            if (stop_ && tasks_.empty()) return;
+            task = std::move(tasks_.front());
+            tasks_.pop();
+          }
+          task();
+        }
+      });
+    }
+  }
+
  private:
   std::vector<std::thread> workers_;
   std::queue<std::function<void()>> tasks_;
@@ -81,6 +103,7 @@ std::mutex g_pool_mu;
 ThreadPool& pool(int n_threads) {
   std::lock_guard<std::mutex> lock(g_pool_mu);
   if (g_pool == nullptr) g_pool = new ThreadPool(n_threads > 0 ? n_threads : 8);
+  else if (n_threads > 0) g_pool->grow(n_threads);
   return *g_pool;
 }
 

@@ -32,7 +32,6 @@ def initialize_distributed() -> None:
     except Exception:
         pass
     coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
-    initialized = False
     try:
         if coord:
             jax.distributed.initialize(
@@ -40,12 +39,10 @@ def initialize_distributed() -> None:
                 num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
                 process_id=int(os.environ["JAX_PROCESS_ID"]),
             )
-            initialized = True
         elif os.environ.get("TPU_WORKER_HOSTNAMES") and os.environ.get(
             "MEGASCALE_COORDINATOR_ADDRESS"
         ):
             jax.distributed.initialize()
-            initialized = True
     except RuntimeError as exc:
         if "already" not in str(exc):  # double-init is benign; else re-raise
             raise

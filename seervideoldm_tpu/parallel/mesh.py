@@ -30,6 +30,19 @@ def create_mesh(shape: Optional[dict[str, int]] = None) -> Mesh:
     n = int(np.prod(dims))
     if n > len(devices):
         raise ValueError(f"mesh {shape} does not match {len(devices)} devices")
+    if n < len(devices) and jax.process_count() > 1:
+        # per-host submesh: a multi-process slice of the GLOBAL device list
+        # would put process-0's (non-addressable) devices in every host's
+        # mesh and crash the first device_put on hosts >= 1
+        local = jax.local_devices()
+        if n > len(local):
+            raise ValueError(
+                f"mesh {shape} spans {n} devices — neither this host's "
+                f"{len(local)} local devices (per-host submesh) nor all "
+                f"{len(devices)} global devices; a partial multi-host mesh "
+                "has no well-defined device assignment"
+            )
+        devices = local
     return Mesh(np.asarray(devices[:n]).reshape(dims), axis_names)
 
 

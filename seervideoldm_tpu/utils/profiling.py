@@ -43,8 +43,14 @@ def annotate(name: str) -> Iterator[None]:
 class StepTimer:
     """Wall-clock step timer with percentile summary.
 
-    Blocks on device completion at exit of each region so timings are real.
-    """
+    Blocks on device completion at exit of each region so timings are real:
+    a fresh scalar computation is enqueued behind the region's work on the
+    default device and fetched to host — TPU/CPU streams execute in order,
+    so the fetch returns only once everything dispatched inside the region
+    has finished.  (``jax.effects_barrier()`` is NOT enough: it waits only
+    on effect runtime tokens, and a pure jitted step has none — it would
+    time async dispatch, not the step.)  A small scalar fetch is also the
+    relay-safe sync (bulk transfers ride a slow tunnel)."""
 
     def __init__(self, skip_first: int = 1):
         self.times: list[float] = []
@@ -56,7 +62,9 @@ class StepTimer:
         return self
 
     def __exit__(self, *exc) -> None:
-        jax.effects_barrier()
+        import jax.numpy as jnp
+
+        float(jnp.zeros(()) + 0.0)  # in-order queue drain (see docstring)
         self.times.append(time.perf_counter() - self._t0)
 
     def summary(self) -> dict:

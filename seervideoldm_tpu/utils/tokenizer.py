@@ -182,10 +182,14 @@ class DebugTokenizer:
         max_length = max_length or self.max_length
         input_ids = np.full((len(texts), max_length), self.eos_id, dtype=np.int32)
         attention_mask = np.zeros((len(texts), max_length), dtype=np.int32)
+        import zlib
+
         for i, text in enumerate(texts):
             words = text.lower().split()
+            # crc32, not hash(): Python's str hash is salted per process, so
+            # ids would differ across runs/hosts and break reproducibility
             ids = [self.bos_id] + [
-                int(hash(w) % (self.vocab_size - 2)) for w in words
+                int(zlib.crc32(w.encode()) % (self.vocab_size - 2)) for w in words
             ][: max_length - 2] + [self.eos_id]
             input_ids[i, : len(ids)] = np.asarray(ids, dtype=np.int32)
             attention_mask[i, : len(ids)] = 1

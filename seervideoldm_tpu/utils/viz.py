@@ -64,9 +64,20 @@ def save_visualization(
     if gt is not None:
         rows.append(("gt", gt))
 
+    def _tile(vid: np.ndarray) -> np.ndarray:
+        """(b, f, h, w, 3) -> (f, i*h, j*w, 3) with i = num_sample_rows —
+        the reference's `(i j) c f h w -> c f (i h) (j w)` GIF layout
+        (ddim_sampling_utils.py:65); falls back to one row when the batch
+        doesn't divide."""
+        b, f, h, w, c = vid.shape
+        i = num_sample_rows if num_sample_rows and b % num_sample_rows == 0 else 1
+        j = b // i
+        return (vid.reshape(i, j, f, h, w, c)
+                .transpose(2, 0, 3, 1, 4, 5)
+                .reshape(f, i * h, j * w, c))
+
     for name, vid in rows:
-        stacked = np.concatenate(list(vid), axis=2)  # (f, h, b*w, 3)
-        video_to_gif(stacked, os.path.join(results_folder, f"{name}-{global_step}.gif"))
+        video_to_gif(_tile(vid), os.path.join(results_folder, f"{name}-{global_step}.gif"))
 
     # PNG grid, reference layout (utils/ddim_sampling_utils.py:73-92): one
     # panel per batch element — [cond frames | GREEN separator |

@@ -236,3 +236,36 @@ def test_empty_clip_raises_clearly():
 
     with pytest.raises(FileNotFoundError, match="no frames"):
         _load_clip([], 8, 4)
+
+
+def test_debug_tokenizer_stable_across_instances():
+    """DebugTokenizer ids must be process/run stable (crc32, not salted
+    hash()) so multi-host smoke runs tokenize identically."""
+    t1 = DebugTokenizer(max_length=16)
+    t2 = DebugTokenizer(max_length=16)
+    a = t1(["push the cup left"])
+    b = t2(["push the cup left"])
+    np.testing.assert_array_equal(a["input_ids"], b["input_ids"])
+    import zlib
+    want_first = int(zlib.crc32(b"push") % (t1.vocab_size - 2))
+    assert int(a["input_ids"][0, 1]) == want_first
+
+
+def test_save_visualization_respects_num_sample_rows(tmp_path):
+    """The reference arranges the batch as (i j) -> (i h)(j w) with
+    i = num_sample_rows (ddim_sampling_utils.py:65)."""
+    from PIL import Image
+
+    from seervideoldm_tpu.utils.viz import save_visualization
+
+    b, f, h, w = 4, 3, 8, 10
+    samples = np.random.RandomState(0).rand(b, f, h, w, 3).astype(np.float32)
+    save_visualization(samples, None, None, None, str(tmp_path),
+                       global_step=0, num_sample_rows=2)
+    with Image.open(tmp_path / "sample-0.gif") as img:
+        assert img.size == (2 * w, 2 * h)  # (width, height): j*w x i*h
+    # non-dividing rows fall back to one row instead of crashing
+    save_visualization(samples[:3], None, None, None, str(tmp_path),
+                       global_step=1, num_sample_rows=2)
+    with Image.open(tmp_path / "sample-1.gif") as img:
+        assert img.size == (3 * w, h)

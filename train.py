@@ -77,6 +77,14 @@ def main() -> None:
 
     mesh = create_mesh(cfg.mesh_shape)
     num_hosts = jax.process_count()
+    if num_hosts > 1 and mesh.devices.size != jax.device_count():
+        # a per-host submesh is fine for sampling/eval (rank-0 gathers), but
+        # training on one would silently skip cross-host gradient sync
+        raise ValueError(
+            f"multi-host training needs a GLOBAL mesh over all "
+            f"{jax.device_count()} devices; mesh_shape={cfg.mesh_shape} "
+            f"covers only {mesh.devices.size}"
+        )
 
     if cfg.scale_lr:
         cfg.learning_rate = (
