@@ -58,6 +58,11 @@ class Config:
     mixed_precision: str = "bf16"  # reference default fp16; bf16 on TPU
     use_8bit_adam: bool = False
     gradient_checkpointing: bool = False
+    # EMA of trainable weights (0 disables). Beyond reference: the reference
+    # fine-tune driver has no EMA (LitEma exists only in dead CompVis code);
+    # standard diffusion practice. Costs one extra fp32 copy of the
+    # trainable subtree. Checkpointed params use the EMA weights.
+    ema_decay: float = 0.0
     save_steps: int = 1000
     saved_global_step: Optional[int] = None
     text_loss: bool = False
@@ -84,6 +89,12 @@ class Config:
     MAX_IS_BATCH: int = 100
     i3d_ckpt: Optional[str] = None
     c3d_ckpt: Optional[str] = None
+
+    # --- serving (beyond reference) ---
+    serve_host: str = "127.0.0.1"
+    serve_port: int = 8000
+    serve_max_batch: int = 4
+    serve_max_wait_ms: float = 100.0
 
     # --- TPU / parallelism (new) ---
     mesh_shape: Optional[dict] = None  # e.g. {"data": 8} or {"data": 4, "model": 2}

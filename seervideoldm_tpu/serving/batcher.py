@@ -1,0 +1,108 @@
+"""Dynamic request batching for TPU serving.
+
+A TPU executable is compiled for one static batch shape; per-request
+dispatch at batch 1 wastes most of the chip on small-batch launches.  The
+batcher groups concurrent requests into one padded batch: the worker blocks
+on the first request, then drains the queue until ``max_batch`` requests
+are collected or ``max_wait_ms`` elapses, and hands the group to a single
+handler call.  Latency under load amortizes toward throughput-optimal
+batches; an idle server still serves a lone request within ``max_wait_ms``.
+
+(No reference equivalent — the reference has no serving path at all; this
+is beyond-reference production surface.)
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+from typing import Any, Callable, Sequence
+
+
+class DynamicBatcher:
+    """Single-worker batcher: ``submit()`` returns a Future; one worker
+    thread forms batches and runs ``handler(items) -> results`` (results
+    aligned with items)."""
+
+    def __init__(self, handler: Callable[[Sequence[Any]], Sequence[Any]],
+                 max_batch: int, max_wait_ms: float = 50.0):
+        if max_batch < 1:
+            raise ValueError("max_batch must be >= 1")
+        self._handler = handler
+        self.max_batch = max_batch
+        self.max_wait_s = max_wait_ms / 1000.0
+        self._q: queue.Queue = queue.Queue()
+        self._thread: threading.Thread | None = None
+        # telemetry: batch-size distribution is the signal for tuning
+        # max_batch/max_wait against real traffic
+        self.batches = 0
+        self.requests = 0
+
+    def start(self) -> "DynamicBatcher":
+        if self._thread is not None:
+            raise RuntimeError("batcher already started")
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="dynamic-batcher")
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        if self._thread is None:
+            return
+        self._q.put(None)
+        self._thread.join()
+        self._thread = None
+        # fail any requests racing the shutdown instead of hanging them
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None:
+                item[1].set_exception(RuntimeError("batcher stopped"))
+
+    def submit(self, item: Any) -> Future:
+        if self._thread is None:
+            raise RuntimeError("batcher not started")
+        fut: Future = Future()
+        self._q.put((item, fut))
+        return fut
+
+    def _run(self) -> None:
+        import time
+
+        while True:
+            head = self._q.get()
+            if head is None:
+                return
+            group = [head]
+            deadline = time.monotonic() + self.max_wait_s
+            while len(group) < self.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._q.put(None)  # re-post the sentinel for after this batch
+                    break
+                group.append(nxt)
+            items = [it for it, _ in group]
+            futures = [f for _, f in group]
+            try:
+                results = self._handler(items)
+                if len(results) != len(items):
+                    raise RuntimeError(
+                        f"handler returned {len(results)} results for "
+                        f"{len(items)} requests"
+                    )
+            except Exception as exc:  # noqa: BLE001 — propagate to callers
+                for f in futures:
+                    f.set_exception(exc)
+                continue
+            self.batches += 1
+            self.requests += len(items)
+            for f, r in zip(futures, results):
+                f.set_result(r)

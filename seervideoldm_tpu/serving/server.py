@@ -1,0 +1,160 @@
+"""HTTP serving for image+text → video generation.
+
+Production-shaped inference front end (no reference equivalent — the
+reference stops at batch scripts): a ``GenerationService`` owns the jitted
+``SeerPipeline`` and pads dynamic request groups to ONE static batch shape,
+so the TPU executable compiles exactly once and every request rides a full
+MXU-efficient batch; ``DynamicBatcher`` forms the groups.  The HTTP layer
+is a stdlib ``ThreadingHTTPServer`` — zero extra dependencies.
+
+API:
+  GET  /healthz             -> {"ok": true, "batches": N, "requests": M}
+  POST /generate            body: {"prompt": str, "image": base64 png/jpeg}
+                            -> image/gif (cond frames + generated frames)
+"""
+from __future__ import annotations
+
+import base64
+import io
+import json
+import threading
+from dataclasses import dataclass
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import jax
+import numpy as np
+
+from ..data.transforms import resize_center_crop
+from ..utils.viz import gif_bytes
+from .batcher import DynamicBatcher
+
+
+@dataclass
+class GenRequest:
+    prompt: str
+    image: np.ndarray  # (res, res, 3) float32 in [-1, 1]
+
+
+class GenerationService:
+    """Batched generation: pad each request group to the compiled batch."""
+
+    def __init__(self, pipe, tokenizer, *, resolution: int, cond_frames: int,
+                 num_frames: int, ddim_steps: int, guidance_scale: float,
+                 sampler: str = "ddim", max_batch: int = 4,
+                 max_wait_ms: float = 100.0, seed: int = 0):
+        self.pipe = pipe
+        self.tokenizer = tokenizer
+        self.resolution = resolution
+        self.cond_frames = cond_frames
+        self.num_frames = num_frames
+        self.ddim_steps = ddim_steps
+        self.guidance_scale = guidance_scale
+        self.sampler = sampler
+        self.max_batch = max_batch
+        self._rng = jax.random.PRNGKey(seed)
+        self._counter = 0
+        self._lock = threading.Lock()
+        self.batcher = DynamicBatcher(self._handle_batch, max_batch,
+                                      max_wait_ms).start()
+
+    def preprocess_image(self, data: bytes) -> np.ndarray:
+        from PIL import Image
+
+        with Image.open(io.BytesIO(data)) as img:
+            img = resize_center_crop(img.convert("RGB"), self.resolution)
+        return np.asarray(img, dtype=np.float32) / 255.0 * 2.0 - 1.0
+
+    def generate(self, prompt: str, image_bytes: bytes,
+                 timeout_s: float = 600.0) -> np.ndarray:
+        """Blocking single-request API: returns (f, h, w, 3) video in [0,1]
+        (cond frames prepended, the reference inference_img layout)."""
+        req = GenRequest(prompt=prompt, image=self.preprocess_image(image_bytes))
+        return self.batcher.submit(req).result(timeout=timeout_s)
+
+    def _handle_batch(self, reqs) -> list:
+        n = len(reqs)
+        # pad to the ONE compiled batch shape: row 0 repeated, sliced off
+        # after sampling — a new batch size would otherwise recompile the
+        # whole sampler executable per distinct group size
+        frames = np.stack([r.image for r in reqs]
+                          + [reqs[0].image] * (self.max_batch - n))
+        cond = frames[:, None].repeat(self.cond_frames, axis=1)
+        prompts = [r.prompt for r in reqs] + [""] * (self.max_batch - n)
+        tok = self.tokenizer(prompts)
+        tok_uc = self.tokenizer([""] * self.max_batch)
+        with self._lock:
+            rng = jax.random.fold_in(self._rng, self._counter)
+            self._counter += 1
+        videos = self.pipe.generate(
+            cond, tok["input_ids"], tok["attention_mask"],
+            tok_uc["input_ids"], tok_uc["attention_mask"],
+            num_frames=self.num_frames, rng=rng,
+            ddim_steps=self.ddim_steps, guidance_scale=self.guidance_scale,
+            sampler=self.sampler,
+        )
+        videos = np.asarray(videos)  # (B, f2, h, w, 3) in [0, 1]
+        cond01 = (cond + 1.0) / 2.0
+        return [np.concatenate([cond01[i], videos[i]], axis=0)
+                for i in range(n)]
+
+    def warmup(self) -> None:
+        """Compile the padded-batch executable before accepting traffic —
+        the first real request otherwise pays the full jit compile."""
+        dummy = GenRequest(prompt="", image=np.zeros(
+            (self.resolution, self.resolution, 3), np.float32))
+        self._handle_batch([dummy])
+
+    def stop(self) -> None:
+        self.batcher.stop()
+
+
+class _Handler(BaseHTTPRequestHandler):
+    service: GenerationService  # set by make_server
+
+    def log_message(self, fmt, *args):  # quiet by default
+        pass
+
+    def _send(self, code: int, body: bytes, ctype: str) -> None:
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _send_json(self, code: int, obj) -> None:
+        self._send(code, json.dumps(obj).encode(), "application/json")
+
+    def do_GET(self):  # noqa: N802 — BaseHTTPRequestHandler API
+        if self.path == "/healthz":
+            b = self.service.batcher
+            self._send_json(200, {"ok": True, "batches": b.batches,
+                                  "requests": b.requests})
+        else:
+            self._send_json(404, {"error": "not found"})
+
+    def do_POST(self):  # noqa: N802
+        if self.path != "/generate":
+            self._send_json(404, {"error": "not found"})
+            return
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            payload = json.loads(self.rfile.read(length))
+            prompt = payload.get("prompt", "")
+            image_b64 = payload["image"]
+            image_bytes = base64.b64decode(image_b64)
+        except (KeyError, ValueError, json.JSONDecodeError) as exc:
+            self._send_json(400, {"error": f"bad request: {exc}"})
+            return
+        try:
+            video = self.service.generate(prompt, image_bytes)
+        except Exception as exc:  # noqa: BLE001 — request-scoped failure
+            self._send_json(500, {"error": str(exc)})
+            return
+        self._send(200, gif_bytes(video), "image/gif")
+
+
+def make_server(service: GenerationService, host: str = "127.0.0.1",
+                port: int = 8000) -> ThreadingHTTPServer:
+    """Build (not start) the HTTP server; caller runs serve_forever()."""
+    handler = type("BoundHandler", (_Handler,), {"service": service})
+    return ThreadingHTTPServer((host, port), handler)

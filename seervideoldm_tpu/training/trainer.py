@@ -35,11 +35,23 @@ class TrainState(flax.struct.PyTreeNode):
     step: jnp.ndarray
     params: Any  # trainable-only tree (or full tree if not partitioned)
     opt_state: Any
+    # Exponential moving average of ``params`` (same tree), or None when EMA
+    # is disabled.  Beyond-reference: the reference's LitEma
+    # (``ldm/modules/ema.py``) exists only in the dead CompVis code and the
+    # fine-tune driver never uses it; EMA weights are nonetheless standard
+    # practice for diffusion sampling quality, so we expose it as a knob.
+    ema_params: Any = None
 
     @staticmethod
-    def create(params: dict, tx: optax.GradientTransformation) -> "TrainState":
+    def create(params: dict, tx: optax.GradientTransformation,
+               ema: bool = False) -> "TrainState":
+        # EMA starts as a true copy (not aliased buffers): the train step
+        # donates the whole state, and two tree leaves sharing one donated
+        # buffer is undefined
+        ema_params = jax.tree.map(jnp.copy, params) if ema else None
         return TrainState(
-            step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params)
+            step=jnp.zeros((), jnp.int32), params=params,
+            opt_state=tx.init(params), ema_params=ema_params,
         )
 
 
@@ -110,6 +122,7 @@ def make_train_step(
     prediction_type: str = "epsilon",
     text_loss: bool = False,
     frozen_params: Optional[dict] = None,
+    ema_decay: float = 0.0,
 ) -> Callable:
     """Build the jitted train step: (state, batch, rng) -> (state, metrics).
 
@@ -177,7 +190,27 @@ def make_train_step(
             gnorm = optax.global_norm(acc)
         else:
             gnorm = optax.global_norm(grads)
-        new_state = TrainState(step=state.step + 1, params=params, opt_state=opt_state)
+        ema_params = state.ema_params
+        if ema_decay > 0.0:
+            # LitEma semantics (reference ``ldm/modules/ema.py:15-35``):
+            # warmup-ramped decay min(decay, (1+n)/(10+n)) per optimizer
+            # update.  Under gradient accumulation the params only change at
+            # the sync micro-step, so the EMA advances only there — updating
+            # every micro-step would compound the decay by the accum factor.
+            if isinstance(state.opt_state, optax.MultiStepsState):
+                did_sync = opt_state.mini_step == 0  # post-update: just wrapped
+                n_updates = opt_state.gradient_step
+            else:
+                did_sync = jnp.bool_(True)
+                n_updates = state.step + 1
+            d = jnp.minimum(ema_decay, (1.0 + n_updates) / (10.0 + n_updates))
+            d = jnp.where(did_sync, d, 1.0).astype(jnp.float32)
+            ema_params = jax.tree.map(
+                lambda e, p: (e * d + p.astype(e.dtype) * (1.0 - d)).astype(e.dtype),
+                state.ema_params, params,
+            )
+        new_state = TrainState(step=state.step + 1, params=params,
+                               opt_state=opt_state, ema_params=ema_params)
         return new_state, {"loss": loss, "grad_norm": gnorm, **aux}
 
     def train_step(state: TrainState, batch: dict, rng: jax.Array,
@@ -187,6 +220,10 @@ def make_train_step(
         # frozen weight into an embedded module constant — at flagship scale
         # that pulls ~GBs device->host at trace time and bloats the module
         # until the compile never finishes (the round-1 blocker).
+        if ema_decay > 0.0 and state.ema_params is None:
+            raise ValueError(
+                "ema_decay > 0 requires TrainState.create(..., ema=True)"
+            )
         return _train_step(state, batch, rng, frozen)
 
     def compile_aligned(state: TrainState, batch: dict, rng) -> Callable:

@@ -27,6 +27,19 @@ def video_to_gif(video: np.ndarray, path: str, duration: int = 120, loop: int = 
     )
 
 
+def gif_bytes(video: np.ndarray, duration: int = 120, loop: int = 0) -> bytes:
+    """In-memory GIF encode (serving path); video: (f, h, w, 3) float [0,1]."""
+    import io
+
+    buf = io.BytesIO()
+    frames = [Image.fromarray(f) for f in _to_uint8(video)]
+    frames[0].save(
+        buf, format="GIF", save_all=True, append_images=frames[1:],
+        duration=duration, loop=loop, optimize=True,
+    )
+    return buf.getvalue()
+
+
 def _pad(img: np.ndarray, pad: int = 2, value: float = 0.0) -> np.ndarray:
     return np.pad(img, ((0, 0), (pad, pad), (pad, pad), (0, 0)), constant_values=value)
 

@@ -20,7 +20,8 @@ contract* of every checkpoint the reference consumes is derivable locally:
   with ``query/key/value/proj_attn`` naming, double-z quant convs).
 
 Run:  python tests/fixtures/gen_reference_manifests.py
-Writes reference_manifests.json next to this file.
+Writes seervideoldm_tpu/io/reference_manifests.json (packaged: the export
+path ships it as the reference checkpoint contract).
 """
 from __future__ import annotations
 
@@ -32,7 +33,8 @@ import types
 import torch
 from torch import nn
 
-OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir,
+                   os.pardir, "seervideoldm_tpu", "io",
                    "reference_manifests.json")
 REF = "/root/reference"
 

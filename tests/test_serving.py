@@ -1,0 +1,176 @@
+"""Serving subsystem: dynamic batcher semantics + HTTP e2e on tiny models.
+
+Beyond-reference surface (the reference has no serving path): requests are
+padded to one compiled batch shape and grouped by a single-worker batcher.
+"""
+import base64
+import io
+import json
+import threading
+import time
+import urllib.error
+import urllib.request
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from seervideoldm_tpu.serving.batcher import DynamicBatcher
+
+
+# --- batcher unit tests (no models) ---
+
+def test_batcher_groups_and_orders():
+    sizes = []
+
+    def handler(items):
+        sizes.append(len(items))
+        return [x * 10 for x in items]
+
+    b = DynamicBatcher(handler, max_batch=2, max_wait_ms=500).start()
+    futs = [b.submit(i) for i in range(4)]
+    assert [f.result(timeout=10) for f in futs] == [0, 10, 20, 30]
+    b.stop()
+    assert sum(sizes) == 4
+    assert b.requests == 4
+    # with a 500 ms window and instant submissions, at least one group forms
+    assert b.batches <= 3 and max(sizes) == 2
+
+
+def test_batcher_error_propagates_to_all():
+    def handler(items):
+        raise RuntimeError("boom")
+
+    b = DynamicBatcher(handler, max_batch=4, max_wait_ms=50).start()
+    futs = [b.submit(i) for i in range(2)]
+    for f in futs:
+        with pytest.raises(RuntimeError, match="boom"):
+            f.result(timeout=10)
+    b.stop()
+
+
+def test_batcher_result_count_mismatch_is_an_error():
+    b = DynamicBatcher(lambda items: [1], max_batch=2, max_wait_ms=200).start()
+    futs = [b.submit(i) for i in range(2)]
+    errs = 0
+    for f in futs:
+        try:
+            f.result(timeout=10)
+        except RuntimeError:
+            errs += 1
+    assert errs == 2
+    b.stop()
+
+
+def test_batcher_submit_after_stop_raises():
+    b = DynamicBatcher(lambda items: items, max_batch=1, max_wait_ms=10).start()
+    b.stop()
+    with pytest.raises(RuntimeError, match="not started"):
+        b.submit(1)
+
+
+# --- service + HTTP e2e on tiny models ---
+
+@pytest.fixture(scope="module")
+def service():
+    from seervideoldm_tpu.models.clip_text import CLIPTextConfig
+    from seervideoldm_tpu.models.unet3d import SeerUNetConfig
+    from seervideoldm_tpu.models.vae import VAEConfig
+    from seervideoldm_tpu.pipelines.text_video import SeerModels, SeerPipeline
+    from seervideoldm_tpu.serving import GenerationService
+    from seervideoldm_tpu.utils.tokenizer import DebugTokenizer
+
+    models = SeerModels.initialize(
+        jax.random.PRNGKey(0), num_frames=4,
+        unet_config=SeerUNetConfig(
+            block_out_channels=(32, 64), layers_per_block=1, norm_num_groups=8,
+            cross_attention_dim=32, attention_head_dim=4,
+        ),
+        vae_config=VAEConfig(block_out_channels=(16, 32), layers_per_block=1,
+                             norm_num_groups=8),
+        clip_config=CLIPTextConfig(vocab_size=100, hidden_size=32,
+                                   intermediate_size=64, num_hidden_layers=2,
+                                   num_attention_heads=4,
+                                   max_position_embeddings=16),
+        fstext_kwargs=dict(n_heads=4, num_layers=1),
+        dtype=jnp.float32, latent_size=8,
+    )
+    svc = GenerationService(
+        SeerPipeline(models), DebugTokenizer(vocab_size=100, max_length=16),
+        resolution=16, cond_frames=1, num_frames=4, ddim_steps=2,
+        guidance_scale=7.5, max_batch=2, max_wait_ms=100.0, seed=0,
+    )
+    yield svc
+    svc.stop()
+
+
+def _png_bytes(seed: int = 0, size: int = 24) -> bytes:
+    from PIL import Image
+
+    arr = np.random.RandomState(seed).randint(0, 255, (size, size, 3), np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def test_service_generate(service):
+    video = service.generate("push the cup left", _png_bytes())
+    assert video.shape == (4, 16, 16, 3)  # cond frame + 3 generated
+    assert np.isfinite(video).all() and video.min() >= 0.0 and video.max() <= 1.0
+
+
+def test_http_end_to_end(service):
+    from PIL import Image
+
+    from seervideoldm_tpu.serving import make_server
+
+    server = make_server(service, port=0)  # ephemeral port
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        # healthz
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz") as r:
+            health = json.loads(r.read())
+        assert health["ok"] is True
+
+        # two concurrent generates — exercises the batching path
+        body = json.dumps({
+            "prompt": "push", "image": base64.b64encode(_png_bytes()).decode(),
+        }).encode()
+        results = {}
+
+        def post(key):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate", data=body,
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=300) as r:
+                results[key] = (r.status, r.headers["Content-Type"], r.read())
+
+        threads = [threading.Thread(target=post, args=(i,)) for i in range(2)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        for status, ctype, data in results.values():
+            assert status == 200 and ctype == "image/gif"
+            with Image.open(io.BytesIO(data)) as gif:
+                assert gif.n_frames == 4
+
+        # bad request: missing image
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=json.dumps({"prompt": "x"}).encode(),
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            urllib.request.urlopen(req, timeout=30)
+        assert exc_info.value.code == 400
+
+        # unknown path
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/nope", timeout=30)
+        assert exc_info.value.code == 404
+    finally:
+        server.shutdown()
+        server.server_close()

@@ -117,7 +117,8 @@ def main() -> None:
         partitioned=True,
         use_8bit=bool(cfg.use_8bit_adam),
     )
-    state = TrainState.create(trainable, tx)
+    use_ema = float(cfg.ema_decay) > 0.0
+    state = TrainState.create(trainable, tx, ema=use_ema)
     state = replicate_global(mesh, state)
     if cfg.get("frozen_params_bf16"):
         # halve frozen-weight memory (quality impact negligible: frozen
@@ -132,6 +133,7 @@ def main() -> None:
     train_step = make_train_step(
         models, tx, cond_frames=cfg.cond_frames,
         text_loss=bool(cfg.text_loss), frozen_params=frozen,
+        ema_decay=float(cfg.ema_decay),
     )
     prepare = prepare_batch_fn(models)
 
@@ -283,7 +285,11 @@ def main() -> None:
                 from seervideoldm_tpu.parallel.distributed import barrier_sync
 
                 barrier_sync(f"save_{global_step}")
-                full = combine_params(state.params, frozen)
+                # params-only sub-checkpoint is the inference artifact: with
+                # EMA enabled it carries the averaged weights (standard
+                # diffusion practice); the raw weights stay in `state`
+                full = combine_params(
+                    state.ema_params if use_ema else state.params, frozen)
                 ckpt.save(global_step, state,
                           params={"unet": full["unet"], "fstext": full["fstext"]})
                 if is_main_process():
@@ -320,7 +326,8 @@ def main() -> None:
         from seervideoldm_tpu.parallel.distributed import barrier_sync
 
         barrier_sync(f"save_final_{global_step}")
-        full = combine_params(state.params, frozen)
+        full = combine_params(
+            state.ema_params if use_ema else state.params, frozen)
         ckpt.save(global_step, state,
                   params={"unet": full["unet"], "fstext": full["fstext"]})
         if is_main_process():
