@@ -16,7 +16,7 @@ import numpy as np
 from PIL import Image
 
 from seervideoldm_tpu.config import parse_args
-from seervideoldm_tpu.data.transforms import resize_center_crop
+from seervideoldm_tpu.data.transforms import image_to_model_input
 from seervideoldm_tpu.parallel.mesh import create_mesh
 from seervideoldm_tpu.pipelines.loading import (
     load_finetuned,
@@ -52,8 +52,7 @@ def main() -> None:
                         donate_latents=bool(cfg.donate_latents))
 
     with Image.open(cfg.image_path) as img:
-        img = resize_center_crop(img.convert("RGB"), cfg.resolution)
-        frame = np.asarray(img, dtype=np.float32) / 255.0 * 2.0 - 1.0
+        frame = image_to_model_input(img, cfg.resolution)
     cond = jnp.asarray(frame)[None, None].repeat(cfg.cond_frames, axis=1)
 
     prompt = cfg.input_text_prompts or ""

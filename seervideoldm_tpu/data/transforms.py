@@ -27,13 +27,17 @@ def resize_center_crop(img: Image.Image, resolution: int) -> Image.Image:
     return img.crop((left, top, left + resolution, top + resolution))
 
 
+def image_to_model_input(img: Image.Image, resolution: int) -> np.ndarray:
+    """PIL image -> (res, res, 3) float32 in [-1, 1] — THE normalization
+    contract shared by training, inference_img, and serving."""
+    img = resize_center_crop(img.convert("RGB"), resolution)
+    return np.asarray(img, dtype=np.float32) / 255.0 * 2.0 - 1.0
+
+
 def load_frame(path: str, resolution: int) -> np.ndarray:
     """Load one frame -> (h, w, 3) float32 in [-1, 1]."""
     with Image.open(path) as img:
-        img = img.convert("RGB")
-        img = resize_center_crop(img, resolution)
-        arr = np.asarray(img, dtype=np.float32) / 255.0
-    return arr * 2.0 - 1.0
+        return image_to_model_input(img, resolution)
 
 
 def _linear_resample(video: np.ndarray, frames: int) -> np.ndarray:

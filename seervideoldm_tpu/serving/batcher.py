@@ -19,53 +19,74 @@ from concurrent.futures import Future
 from typing import Any, Callable, Sequence
 
 
+class BatcherOverloaded(RuntimeError):
+    """Raised by submit() when the admission queue is full — callers should
+    shed the request (HTTP 503) rather than let it pile up: a queued request
+    still costs a full sampling slot even if its client has given up."""
+
+
 class DynamicBatcher:
     """Single-worker batcher: ``submit()`` returns a Future; one worker
     thread forms batches and runs ``handler(items) -> results`` (results
-    aligned with items)."""
+    aligned with items).  The queue is bounded (``max_queue``, default
+    4×max_batch): under overload submit() raises ``BatcherOverloaded``
+    immediately instead of growing an unbounded backlog of work whose
+    clients will have timed out by the time it runs."""
 
     def __init__(self, handler: Callable[[Sequence[Any]], Sequence[Any]],
-                 max_batch: int, max_wait_ms: float = 50.0):
+                 max_batch: int, max_wait_ms: float = 50.0,
+                 max_queue: int | None = None):
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
         self._handler = handler
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1000.0
-        self._q: queue.Queue = queue.Queue()
+        self._q: queue.Queue = queue.Queue(maxsize=max_queue or 4 * max_batch)
         self._thread: threading.Thread | None = None
+        # guards the start/stop/submit lifecycle: without it a submit that
+        # passed the liveness check could enqueue into a just-drained queue
+        # and its Future would never resolve
+        self._lifecycle = threading.Lock()
         # telemetry: batch-size distribution is the signal for tuning
         # max_batch/max_wait against real traffic
         self.batches = 0
         self.requests = 0
 
     def start(self) -> "DynamicBatcher":
-        if self._thread is not None:
-            raise RuntimeError("batcher already started")
-        self._thread = threading.Thread(target=self._run, daemon=True,
-                                        name="dynamic-batcher")
-        self._thread.start()
+        with self._lifecycle:
+            if self._thread is not None:
+                raise RuntimeError("batcher already started")
+            self._thread = threading.Thread(target=self._run, daemon=True,
+                                            name="dynamic-batcher")
+            self._thread.start()
         return self
 
     def stop(self) -> None:
-        if self._thread is None:
-            return
-        self._q.put(None)
-        self._thread.join()
-        self._thread = None
-        # fail any requests racing the shutdown instead of hanging them
-        while True:
-            try:
-                item = self._q.get_nowait()
-            except queue.Empty:
-                break
-            if item is not None:
-                item[1].set_exception(RuntimeError("batcher stopped"))
+        with self._lifecycle:
+            if self._thread is None:
+                return
+            self._q.put(None)  # blocking put: the sentinel must get through
+            self._thread.join()
+            self._thread = None
+            # fail any requests racing the shutdown instead of hanging them
+            while True:
+                try:
+                    item = self._q.get_nowait()
+                except queue.Empty:
+                    break
+                if item is not None:
+                    item[1].set_exception(RuntimeError("batcher stopped"))
 
     def submit(self, item: Any) -> Future:
-        if self._thread is None:
-            raise RuntimeError("batcher not started")
         fut: Future = Future()
-        self._q.put((item, fut))
+        with self._lifecycle:
+            if self._thread is None:
+                raise RuntimeError("batcher not started")
+            try:
+                self._q.put_nowait((item, fut))
+            except queue.Full:
+                raise BatcherOverloaded(
+                    f"queue full ({self._q.maxsize} pending)") from None
         return fut
 
     def _run(self) -> None:

@@ -24,9 +24,9 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import jax
 import numpy as np
 
-from ..data.transforms import resize_center_crop
+from ..data.transforms import image_to_model_input
 from ..utils.viz import gif_bytes
-from .batcher import DynamicBatcher
+from .batcher import BatcherOverloaded, DynamicBatcher
 
 
 @dataclass
@@ -54,6 +54,8 @@ class GenerationService:
         self._rng = jax.random.PRNGKey(seed)
         self._counter = 0
         self._lock = threading.Lock()
+        # constant across batches — don't retokenize in the hot path
+        self._tok_uc = tokenizer([""] * max_batch)
         self.batcher = DynamicBatcher(self._handle_batch, max_batch,
                                       max_wait_ms).start()
 
@@ -61,8 +63,7 @@ class GenerationService:
         from PIL import Image
 
         with Image.open(io.BytesIO(data)) as img:
-            img = resize_center_crop(img.convert("RGB"), self.resolution)
-        return np.asarray(img, dtype=np.float32) / 255.0 * 2.0 - 1.0
+            return image_to_model_input(img, self.resolution)
 
     def generate(self, prompt: str, image_bytes: bytes,
                  timeout_s: float = 600.0) -> np.ndarray:
@@ -81,7 +82,7 @@ class GenerationService:
         cond = frames[:, None].repeat(self.cond_frames, axis=1)
         prompts = [r.prompt for r in reqs] + [""] * (self.max_batch - n)
         tok = self.tokenizer(prompts)
-        tok_uc = self.tokenizer([""] * self.max_batch)
+        tok_uc = self._tok_uc
         with self._lock:
             rng = jax.random.fold_in(self._rng, self._counter)
             self._counter += 1
@@ -140,13 +141,19 @@ class _Handler(BaseHTTPRequestHandler):
             length = int(self.headers.get("Content-Length", 0))
             payload = json.loads(self.rfile.read(length))
             prompt = payload.get("prompt", "")
-            image_b64 = payload["image"]
-            image_bytes = base64.b64decode(image_b64)
-        except (KeyError, ValueError, json.JSONDecodeError) as exc:
+            if not isinstance(prompt, str):
+                raise ValueError("prompt must be a string")
+            image_bytes = base64.b64decode(payload["image"])
+        except Exception as exc:  # noqa: BLE001 — ANY malformed payload is a
+            # client error (non-dict JSON, non-str image, bad b64, ...): a
+            # narrower catch would drop the connection with no response
             self._send_json(400, {"error": f"bad request: {exc}"})
             return
         try:
             video = self.service.generate(prompt, image_bytes)
+        except BatcherOverloaded as exc:
+            self._send_json(503, {"error": f"overloaded: {exc}"})
+            return
         except Exception as exc:  # noqa: BLE001 — request-scoped failure
             self._send_json(500, {"error": str(exc)})
             return

@@ -18,15 +18,6 @@ def _to_uint8(video: np.ndarray) -> np.ndarray:
     return (np.clip(video, 0.0, 1.0) * 255).astype(np.uint8)
 
 
-def video_to_gif(video: np.ndarray, path: str, duration: int = 120, loop: int = 0) -> None:
-    """video: (f, h, w, 3) float [0,1]."""
-    frames = [Image.fromarray(f) for f in _to_uint8(video)]
-    frames[0].save(
-        path, save_all=True, append_images=frames[1:], duration=duration,
-        loop=loop, optimize=True,
-    )
-
-
 def gif_bytes(video: np.ndarray, duration: int = 120, loop: int = 0) -> bytes:
     """In-memory GIF encode (serving path); video: (f, h, w, 3) float [0,1]."""
     import io
@@ -38,6 +29,12 @@ def gif_bytes(video: np.ndarray, duration: int = 120, loop: int = 0) -> bytes:
         duration=duration, loop=loop, optimize=True,
     )
     return buf.getvalue()
+
+
+def video_to_gif(video: np.ndarray, path: str, duration: int = 120, loop: int = 0) -> None:
+    """video: (f, h, w, 3) float [0,1]."""
+    with open(path, "wb") as f:
+        f.write(gif_bytes(video, duration=duration, loop=loop))
 
 
 def _pad(img: np.ndarray, pad: int = 2, value: float = 0.0) -> np.ndarray:

@@ -66,6 +66,7 @@ def main() -> None:
         pass
     finally:
         server.shutdown()
+        server.server_close()
         service.stop()
 
 

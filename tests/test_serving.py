@@ -63,6 +63,28 @@ def test_batcher_result_count_mismatch_is_an_error():
     b.stop()
 
 
+def test_batcher_overload_sheds_requests():
+    import threading
+
+    gate = threading.Event()
+
+    def handler(items):
+        gate.wait(10)
+        return items
+
+    from seervideoldm_tpu.serving.batcher import BatcherOverloaded
+
+    b = DynamicBatcher(handler, max_batch=1, max_wait_ms=1, max_queue=2).start()
+    first = b.submit(0)  # occupies the worker (blocked on gate)
+    time.sleep(0.2)
+    b.submit(1), b.submit(2)  # fill the queue
+    with pytest.raises(BatcherOverloaded):
+        b.submit(3)
+    gate.set()
+    assert first.result(timeout=10) == 0
+    b.stop()
+
+
 def test_batcher_submit_after_stop_raises():
     b = DynamicBatcher(lambda items: items, max_batch=1, max_wait_ms=10).start()
     b.stop()

@@ -157,7 +157,32 @@ def main() -> None:
     meta_loaded = False
     if cfg.saved_global_step:
         global_step = int(cfg.saved_global_step)
-        state = ckpt.restore(global_step, state)
+        try:
+            state = ckpt.restore(global_step, state)
+        except Exception as orig:
+            # ema_decay toggled across the resume: the saved tree structure
+            # differs from the template (ema_params present vs None). Retry
+            # with the other template and migrate instead of surfacing an
+            # opaque Orbax structure mismatch.
+            try:
+                alt = replicate_global(
+                    mesh, TrainState.create(trainable, tx, ema=not use_ema))
+                restored = ckpt.restore(global_step, alt)
+            except Exception:
+                raise orig  # not an EMA-shape mismatch — surface the original
+            if use_ema:
+                print("resume: checkpoint has no EMA state — seeding the "
+                      "EMA from the restored weights")
+                state = TrainState(
+                    step=restored.step, params=restored.params,
+                    opt_state=restored.opt_state,
+                    ema_params=jax.tree.map(jnp.copy, restored.params))
+            else:
+                print("resume: dropping the checkpoint's EMA state "
+                      "(ema_decay: 0)")
+                state = TrainState(
+                    step=restored.step, params=restored.params,
+                    opt_state=restored.opt_state, ema_params=None)
         meta_path = os.path.join(cfg.output_dir, f"learned_sdunet-steps-{global_step}.json")
         if os.path.exists(meta_path):
             import json
