@@ -68,6 +68,12 @@ def main() -> None:
         iters = tqdm(range(cfg.sample_iter), desc="sampling", dynamic_ncols=True)
     except Exception:
         iters = range(cfg.sample_iter)
+    # host-side GIF/PNG encoding overlaps the NEXT clip's device sampling:
+    # one writer thread, at most 2 batches in flight (bounds host RAM)
+    from concurrent.futures import ThreadPoolExecutor
+
+    writer_pool = ThreadPoolExecutor(max_workers=1)
+    pending_writes: list = []
     for i_ter in iters:
         videos, prompts = next(it)
         video = jnp.asarray(videos)  # (b, f, h, w, 3) in [-1, 1]
@@ -100,12 +106,17 @@ def main() -> None:
                 # widen the stride only in that case so filenames stay
                 # reference-identical for the common num_samples <= 10
                 stride = max(10, cfg.num_samples)
-                save_visualization(
-                    samples_g, recon_g, gt_g, cond_g,
+                pending_writes.append(writer_pool.submit(
+                    save_visualization, samples_g, recon_g, gt_g, cond_g,
                     cfg.output_dir, global_step=i_ter * stride + j,
                     num_sample_rows=cfg.n_rows,
-                )
+                ))
+                while len(pending_writes) > 2:
+                    pending_writes.pop(0).result()  # propagate write errors
         print(f"iteration {i_ter + 1}/{cfg.sample_iter} done")
+    for fut in pending_writes:
+        fut.result()
+    writer_pool.shutdown()
 
 
 if __name__ == "__main__":
