@@ -127,6 +127,27 @@ def service():
     svc.stop()
 
 
+@pytest.mark.slow
+def test_service_on_data_mesh(service):
+    """Serving composes with multi-chip sampling: the padded batch shards
+    over a data mesh (production deployment shape)."""
+    from seervideoldm_tpu.parallel.mesh import create_mesh
+    from seervideoldm_tpu.pipelines.text_video import SeerPipeline
+    from seervideoldm_tpu.serving import GenerationService
+
+    mesh = create_mesh({"data": 2})
+    svc = GenerationService(
+        SeerPipeline(service.pipe.m, mesh=mesh), service.tokenizer,
+        resolution=16, cond_frames=1, num_frames=4, ddim_steps=2,
+        guidance_scale=7.5, max_batch=2, max_wait_ms=50.0, seed=0,
+    )
+    try:
+        video = svc.generate("push", _png_bytes())
+        assert video.shape == (4, 16, 16, 3) and np.isfinite(video).all()
+    finally:
+        svc.stop()
+
+
 def _png_bytes(seed: int = 0, size: int = 24) -> bytes:
     from PIL import Image
 
