@@ -33,6 +33,9 @@ from .batcher import BatcherOverloaded, DynamicBatcher
 class GenRequest:
     prompt: str
     image: np.ndarray  # (res, res, 3) float32 in [-1, 1]
+    # CFG negative direction (beyond reference, standard diffusion practice):
+    # the unconditional CLIP embedding comes from this text instead of ""
+    negative_prompt: str = ""
 
 
 class GenerationService:
@@ -66,10 +69,12 @@ class GenerationService:
             return image_to_model_input(img, self.resolution)
 
     def generate(self, prompt: str, image_bytes: bytes,
+                 negative_prompt: str = "",
                  timeout_s: float = 600.0) -> np.ndarray:
         """Blocking single-request API: returns (f, h, w, 3) video in [0,1]
         (cond frames prepended, the reference inference_img layout)."""
-        req = GenRequest(prompt=prompt, image=self.preprocess_image(image_bytes))
+        req = GenRequest(prompt=prompt, image=self.preprocess_image(image_bytes),
+                         negative_prompt=negative_prompt)
         return self.batcher.submit(req).result(timeout=timeout_s)
 
     def _handle_batch(self, reqs) -> list:
@@ -82,7 +87,8 @@ class GenerationService:
         cond = frames[:, None].repeat(self.cond_frames, axis=1)
         prompts = [r.prompt for r in reqs] + [""] * (self.max_batch - n)
         tok = self.tokenizer(prompts)
-        tok_uc = self._tok_uc
+        negs = [r.negative_prompt for r in reqs] + [""] * (self.max_batch - n)
+        tok_uc = self.tokenizer(negs) if any(negs) else self._tok_uc
         with self._lock:
             rng = jax.random.fold_in(self._rng, self._counter)
             self._counter += 1
@@ -141,8 +147,9 @@ class _Handler(BaseHTTPRequestHandler):
             length = int(self.headers.get("Content-Length", 0))
             payload = json.loads(self.rfile.read(length))
             prompt = payload.get("prompt", "")
-            if not isinstance(prompt, str):
-                raise ValueError("prompt must be a string")
+            negative = payload.get("negative_prompt", "")
+            if not isinstance(prompt, str) or not isinstance(negative, str):
+                raise ValueError("prompt/negative_prompt must be strings")
             image_bytes = base64.b64decode(payload["image"])
         except Exception as exc:  # noqa: BLE001 — ANY malformed payload is a
             # client error (non-dict JSON, non-str image, bad b64, ...): a
@@ -150,7 +157,8 @@ class _Handler(BaseHTTPRequestHandler):
             self._send_json(400, {"error": f"bad request: {exc}"})
             return
         try:
-            video = self.service.generate(prompt, image_bytes)
+            video = self.service.generate(prompt, image_bytes,
+                                          negative_prompt=negative)
         except BatcherOverloaded as exc:
             self._send_json(503, {"error": f"overloaded: {exc}"})
             return

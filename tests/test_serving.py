@@ -163,6 +163,32 @@ def test_service_generate(service):
     assert np.isfinite(video).all() and video.min() >= 0.0 and video.max() <= 1.0
 
 
+def test_negative_prompt_reaches_uncond_tokens(service):
+    """The negative prompt must become the CFG uncond token batch (and the
+    cached empty-uncond tokens must be used when no negatives are given).
+
+    NOTE a numeric output assertion is impossible with random weights: the
+    reference-parity zero-initialized ``proj_out`` on every Transformer3D
+    makes a fresh UNet invariant to ALL context until weights are loaded."""
+    calls = []
+    orig = service.tokenizer
+
+    def spy(texts, **kw):
+        calls.append(list(texts))
+        return orig(texts, **kw)
+
+    service.tokenizer = spy
+    try:
+        service.generate("push", _png_bytes(), negative_prompt="blurry")
+        assert ["blurry", ""] in calls  # padded to max_batch=2
+        calls.clear()
+        service.generate("push", _png_bytes())
+        # no negatives -> cached uncond tokens, only the prompt tokenized
+        assert calls == [["push", ""]]
+    finally:
+        service.tokenizer = orig
+
+
 def test_http_end_to_end(service):
     from PIL import Image
 
