@@ -65,6 +65,9 @@ class Config:
     ema_decay: float = 0.0
     save_steps: int = 1000
     saved_global_step: Optional[int] = None
+    # checkpoint retention: keep only the newest N step directories
+    # (None = keep all, the reference behavior)
+    max_to_keep: Optional[int] = None
     text_loss: bool = False
     push_to_hub: bool = False
     logging_dir: str = "logs"

@@ -49,11 +49,16 @@ class CheckpointManager:
             self._ckptr.wait_until_finished()
         if self.max_to_keep is not None:
             self._ckptr.wait_until_finished()
-            dirs = _step_dirs(self.output_dir)
-            for _, old in dirs[: -self.max_to_keep]:
-                import shutil
+            import jax
 
-                shutil.rmtree(old, ignore_errors=True)
+            # rank-0 only: every process calls save() collectively, and
+            # concurrent rmtree of the same finished dirs would race
+            if jax.process_index() == 0:
+                dirs = _step_dirs(self.output_dir)
+                for _, old in dirs[: -self.max_to_keep]:
+                    import shutil
+
+                    shutil.rmtree(old, ignore_errors=True)
         return path
 
     def restore(self, step: int, template: Any) -> Any:

@@ -149,7 +149,9 @@ def main() -> None:
         shard_index=jax.process_index(), num_shards=num_hosts,
     )
 
-    ckpt = CheckpointManager(cfg.output_dir)
+    ckpt = CheckpointManager(
+        cfg.output_dir,
+        max_to_keep=int(cfg.max_to_keep) if cfg.get("max_to_keep") else None)
     losses_train = RunningAverageMeter(0.99)
     lr_meter = RunningAverageMeter(0.99)
     global_step = 0
