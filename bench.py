@@ -41,6 +41,10 @@ def main() -> None:
     parser.add_argument("--sampler", default="ddim", choices=["ddim", "dpm++"],
                         help="headline protocol is ddim (reference parity); "
                              "dpm++ probes the fast-sampler path")
+    parser.add_argument("--guidance_interval", type=float, nargs=2, default=None,
+                        metavar=("LO", "HI"),
+                        help="CFG only for timesteps in [LO, HI] (beyond "
+                             "reference; headline protocol omits this)")
     args = parser.parse_args()
 
     from seervideoldm_tpu.diffusion.ddim import ddim_sample_loop
@@ -97,6 +101,8 @@ def main() -> None:
         return loop(
             unet_apply, x_T, tables, context, x0_emb=x0_emb,
             uncond_context=uncond, guidance_scale=7.5,
+            guidance_interval=(tuple(args.guidance_interval)
+                               if args.guidance_interval else None),
         )
 
     def latents_fn(unet_params, fstext_params, vae_params, x_T, cond_pixels,

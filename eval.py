@@ -112,6 +112,7 @@ def main() -> None:
             num_frames=cfg.num_frames, rng=jax.random.fold_in(k_eval, i),
             ddim_steps=cfg.ddim_steps, guidance_scale=cfg.scale,
             sampler=cfg.sampler,
+            guidance_interval=cfg.guidance_interval,
         )
         # prepend cond frames to prediction (eval.py:225)
         pred = np.concatenate(

@@ -93,6 +93,7 @@ def main() -> None:
                 num_frames=cfg.num_frames, rng=jax.random.fold_in(k_it, j),
                 ddim_steps=cfg.ddim_steps, guidance_scale=cfg.scale,
                 sampler=cfg.sampler,
+                guidance_interval=cfg.guidance_interval,
             )
             # gather every host's clips, write from rank 0 only (reference
             # utils/ddim_sampling_utils.py:60-63 concat_all_gather + rank gate)

@@ -65,6 +65,7 @@ def main() -> None:
         num_frames=cfg.num_frames, rng=k_sample,
         ddim_steps=cfg.ddim_steps, guidance_scale=cfg.scale,
         sampler=cfg.sampler,
+        guidance_interval=cfg.guidance_interval,
     )
     cond01 = np.asarray((cond + 1.0) / 2.0)
     os.makedirs(cfg.output_dir, exist_ok=True)

@@ -78,6 +78,9 @@ class Config:
     # reference: comparable quality at ~2.5x fewer steps)
     sampler: str = "ddim"
     scale: float = 7.5  # classifier-free guidance scale
+    # beyond reference: [lo, hi] timestep window — CFG runs only inside it
+    # (single-batch UNet calls outside). null = CFG at every step (parity).
+    guidance_interval: Optional[list] = None
     num_samples: int = 1
     sample_iter: int = 1
     n_rows: int = 2
@@ -147,6 +150,15 @@ def validate(cfg: Config) -> Config:
     if cfg.sampler not in ("ddim", "dpm++", "dpmpp"):
         raise ValueError(
             f"sampler must be 'ddim' or 'dpm++', got {cfg.sampler!r}"
+        )
+    gi = cfg.get("guidance_interval")
+    if gi is not None and (
+        len(gi) != 2 or not all(isinstance(v, (int, float)) for v in gi)
+        or gi[0] > gi[1]
+    ):
+        raise ValueError(
+            f"guidance_interval must be [lo, hi] timesteps with lo <= hi, "
+            f"got {gi!r}"
         )
     if cfg.get("center_crop") is False:
         raise ValueError(

@@ -47,6 +47,7 @@ def dpm_solver_sample_loop(
     cond_frame: int = 0,
     order: int = 2,
     lower_order_final: bool = True,
+    guidance_interval: Optional[tuple[float, float]] = None,
 ) -> jnp.ndarray:
     """Run DPM-Solver++ over the same reverse-ordered ``tables`` grid the
     DDIM sampler uses (index 0 = highest timestep); returns final latents
@@ -68,7 +69,7 @@ def dpm_solver_sample_loop(
     num_steps = timesteps.shape[0]
 
     eps_fn = make_eps_fn(unet_apply, context, x0_emb, uncond_context,
-                         guidance_scale, cond_frame)
+                         guidance_scale, cond_frame, guidance_interval)
 
     def lam(a):  # log-SNR from ᾱ
         return 0.5 * (jnp.log(a) - jnp.log1p(-a))

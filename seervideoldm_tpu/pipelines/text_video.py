@@ -170,7 +170,8 @@ class SeerPipeline:
     # --- sampling ---
     @functools.lru_cache(maxsize=8)
     def _sample_fn(self, ddim_steps: int, guidance_scale: float, cond_frame: int,
-                   use_cfg: bool, sampler: str = "ddim"):
+                   use_cfg: bool, sampler: str = "ddim",
+                   guidance_interval=None):
         tables = self.schedule.ddim_tables(ddim_steps, eta=0.0)
         if sampler in ("dpm++", "dpmpp"):
             from ..diffusion.dpm_solver import dpm_solver_sample_loop
@@ -190,6 +191,7 @@ class SeerPipeline:
                 uncond_context=uncond_context if use_cfg else None,
                 guidance_scale=guidance_scale if use_cfg else 1.0,
                 cond_frame=cond_frame,
+                guidance_interval=guidance_interval if use_cfg else None,
             )
 
         return jax.jit(fn, donate_argnums=(1,) if self.donate_latents else ())
@@ -204,6 +206,7 @@ class SeerPipeline:
         guidance_scale: float = 7.5,
         cond_frame: int = 0,
         sampler: str = "ddim",
+        guidance_interval=None,
     ) -> jnp.ndarray:
         """Sample future-frame latents (DDIM by default; ``sampler="dpm++"``
         uses DPM-Solver++ 2M on the same step grid).
@@ -212,13 +215,17 @@ class SeerPipeline:
         conditioning latents; context: (b, f1+f2, 77, 768) FSText embedding;
         uncond_context: same shape (raw CLIP empty embedding per frame).
         ``scale == 1.0`` disables CFG (reference ddim_sampling_utils.py:23-24).
+        ``guidance_interval=(lo, hi)`` restricts CFG to timesteps in the
+        window (beyond reference): steps outside run a single-batch UNet call.
         """
         use_cfg = uncond_context is not None and guidance_scale != 1.0
         # normalize the alias before the lru_cache key — "dpmpp" and "dpm++"
         # must share one compiled executable
         sampler = "dpm++" if sampler == "dpmpp" else sampler
+        if guidance_interval is not None:
+            guidance_interval = tuple(float(v) for v in guidance_interval)
         fn = self._sample_fn(ddim_steps, float(guidance_scale), int(cond_frame),
-                             use_cfg, sampler)
+                             use_cfg, sampler, guidance_interval)
         if not use_cfg:
             uncond_context = context  # placeholder, unused
         return fn(self.m.unet_params, x_T, x0_emb, context, uncond_context)
@@ -236,6 +243,7 @@ class SeerPipeline:
         guidance_scale: float = 7.5,
         cond_frame: int = 0,
         sampler: str = "ddim",
+        guidance_interval=None,
     ) -> jnp.ndarray:
         """Full path: cond frames (b, f1, h, w, 3) in [-1,1] + tokenized prompt
         -> decoded future frames (b, f2, h, w, 3) in [0,1]."""
@@ -269,5 +277,6 @@ class SeerPipeline:
             x_T, x0_emb, context, uncond_context,
             ddim_steps=ddim_steps, guidance_scale=guidance_scale,
             cond_frame=cond_frame, sampler=sampler,
+            guidance_interval=guidance_interval,
         )
         return self.vae_decode_video(latents)

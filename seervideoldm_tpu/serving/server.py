@@ -44,7 +44,8 @@ class GenerationService:
     def __init__(self, pipe, tokenizer, *, resolution: int, cond_frames: int,
                  num_frames: int, ddim_steps: int, guidance_scale: float,
                  sampler: str = "ddim", max_batch: int = 4,
-                 max_wait_ms: float = 100.0, seed: int = 0):
+                 max_wait_ms: float = 100.0, seed: int = 0,
+                 guidance_interval=None):
         self.pipe = pipe
         self.tokenizer = tokenizer
         self.resolution = resolution
@@ -53,6 +54,7 @@ class GenerationService:
         self.ddim_steps = ddim_steps
         self.guidance_scale = guidance_scale
         self.sampler = sampler
+        self.guidance_interval = guidance_interval
         self.max_batch = max_batch
         self._rng = jax.random.PRNGKey(seed)
         self._counter = 0
@@ -97,7 +99,7 @@ class GenerationService:
             tok_uc["input_ids"], tok_uc["attention_mask"],
             num_frames=self.num_frames, rng=rng,
             ddim_steps=self.ddim_steps, guidance_scale=self.guidance_scale,
-            sampler=self.sampler,
+            sampler=self.sampler, guidance_interval=self.guidance_interval,
         )
         videos = np.asarray(videos)  # (B, f2, h, w, 3) in [0, 1]
         cond01 = (cond + 1.0) / 2.0

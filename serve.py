@@ -53,6 +53,7 @@ def main() -> None:
         ddim_steps=cfg.ddim_steps, guidance_scale=cfg.scale,
         sampler=cfg.sampler, max_batch=int(cfg.serve_max_batch),
         max_wait_ms=float(cfg.serve_max_wait_ms), seed=cfg.seed,
+        guidance_interval=cfg.guidance_interval,
     )
     print("warmup: compiling the padded-batch executable ...", flush=True)
     service.warmup()

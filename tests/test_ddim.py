@@ -145,3 +145,83 @@ def test_unequal_context_cfg_two_call_branch():
     assert all(b == 2 for b, _ in calls)
     assert {shp for _, shp in calls} == {(2, 4, 14, 8), (2, 4, 7, 8)}
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_guidance_interval_full_window_equals_plain_cfg():
+    """(0, 1000) covers every timestep -> bitwise-equal to plain CFG."""
+    tables = make_tables(4)
+
+    def unet(x, t, ctx, cf):
+        m = jnp.tanh(ctx.mean(axis=(1, 2, 3)))
+        return x * m[:, None, None, None, None]
+
+    x = jnp.ones((2, 3, 4, 4, 4)) * 0.5
+    cond = jnp.linspace(-1.0, 1.0, 2 * 3 * 7 * 8).reshape(2, 3, 7, 8)
+    uncond = jnp.full((2, 3, 7, 8), 0.25)
+    plain = np.asarray(ddim_sample_loop(
+        unet, x, tables, cond, uncond_context=uncond, guidance_scale=7.5))
+    windowed = np.asarray(ddim_sample_loop(
+        unet, x, tables, cond, uncond_context=uncond, guidance_scale=7.5,
+        guidance_interval=(0.0, 1000.0)))
+    np.testing.assert_array_equal(windowed, plain)
+
+
+def test_guidance_interval_empty_window_equals_no_cfg():
+    """A window below every timestep -> every step is the single cond call."""
+    tables = make_tables(4)
+    batch_sizes = []
+
+    def unet(x, t, ctx, cf):
+        batch_sizes.append(x.shape[0])
+        m = jnp.tanh(ctx.mean(axis=(1, 2, 3)))
+        return x * m[:, None, None, None, None]
+
+    x = jnp.ones((2, 3, 4, 4, 4)) * 0.5
+    cond = jnp.linspace(-1.0, 1.0, 2 * 3 * 7 * 8).reshape(2, 3, 7, 8)
+    uncond = jnp.full((2, 3, 7, 8), 0.25)
+    no_cfg = np.asarray(ddim_sample_loop(unet, x, tables, cond))
+    got = np.asarray(ddim_sample_loop(
+        unet, x, tables, cond, uncond_context=uncond, guidance_scale=7.5,
+        guidance_interval=(-2.0, -1.0)))
+    np.testing.assert_allclose(got, no_cfg, rtol=1e-6)
+
+
+def test_guidance_interval_partial_window_mixes_paths():
+    """CFG inside the window, single-call outside: differs from both
+    extremes, and the per-step branch follows the timestep."""
+    tables = make_tables(4)
+
+    def unet(x, t, ctx, cf):
+        m = jnp.tanh(ctx.mean(axis=(1, 2, 3)))
+        return x * m[:, None, None, None, None]
+
+    x = jnp.ones((2, 3, 4, 4, 4)) * 0.5
+    cond = jnp.linspace(-1.0, 1.0, 2 * 3 * 7 * 8).reshape(2, 3, 7, 8)
+    uncond = jnp.full((2, 3, 7, 8), 0.25)
+    ts = np.asarray(tables.timesteps)  # reverse-ordered (high first)
+    mid = float(ts[len(ts) // 2])
+    kw = dict(uncond_context=uncond, guidance_scale=7.5)
+    plain = np.asarray(ddim_sample_loop(unet, x, tables, cond, **kw))
+    no_cfg = np.asarray(ddim_sample_loop(unet, x, tables, cond))
+    part = np.asarray(ddim_sample_loop(
+        unet, x, tables, cond, guidance_interval=(0.0, mid), **kw))
+    assert not np.allclose(part, plain)
+    assert not np.allclose(part, no_cfg)
+
+    # manual reference: run plain CFG but replace eps with the single-call
+    # eps for steps whose t is outside the window
+    from seervideoldm_tpu.diffusion.ddim import make_eps_fn
+
+    eps_cfg = make_eps_fn(unet, cond, None, uncond, 7.5, 0)
+    eps_one = make_eps_fn(unet, cond, None, None, 1.0, 0)
+    img = x
+    for i, t in enumerate(ts):
+        e = eps_cfg(img, jnp.asarray(t)) if t <= mid else eps_one(
+            img, jnp.asarray(t))
+        a_t, a_prev = tables.alphas[i], tables.alphas_prev[i]
+        sqrt_1m = tables.sqrt_one_minus_alphas[i]
+        img32 = img.astype(jnp.float32)
+        pred_x0 = (img32 - sqrt_1m * e) / jnp.sqrt(a_t)
+        img = (jnp.sqrt(a_prev) * pred_x0
+               + jnp.sqrt(1.0 - a_prev) * e).astype(img.dtype)
+    np.testing.assert_allclose(part, np.asarray(img), rtol=1e-5, atol=1e-6)
