@@ -69,19 +69,18 @@ def main() -> None:
     cond_pixels = jax.random.uniform(k2, (b, f1, args.resolution, args.resolution, 3),
                                      dtype, -1.0, 1.0)
     x_T = jax.random.normal(k3, (b, f2, latent, latent, 4), dtype)
-    # jit the inits at TINY spatial shapes: param shapes don't depend on
-    # h/w, and an unjitted full-scale init dispatches thousands of eager
-    # ops through the relay (~10 min of pure dispatch latency)
-    unet_params = jax.jit(lambda k: unet.init(
+    # init at TINY spatial shapes: param shapes don't depend on h/w (see
+    # utils/inits.py for why inits are always jitted)
+    from seervideoldm_tpu.utils.inits import jit_init
+
+    unet_params = jit_init(lambda k: unet.init(
         k, jnp.zeros((1, f, 8, 8, 4), dtype),
         jnp.zeros((1,), jnp.int32), jnp.zeros((1, f, 77, 768), dtype), 0,
-    )["params"])(k4)
-    fstext_params = jax.jit(
-        lambda k: fstext.init(k, jnp.zeros((1, 77, 768), dtype))["params"]
-    )(k4)
-    vae_params = jax.jit(
-        lambda k: vae.init(k, jnp.zeros((1, 16, 16, 3), dtype), k)["params"]
-    )(k4)
+    ), k4)
+    fstext_params = jit_init(
+        lambda k: fstext.init(k, jnp.zeros((1, 77, 768), dtype)), k4)
+    vae_params = jit_init(
+        lambda k: vae.init(k, jnp.zeros((1, 16, 16, 3), dtype), k), k4)
     # production inference: store weights in bf16 (halves HBM weight traffic)
     cast = lambda t: jax.tree.map(lambda p: p.astype(dtype), t)  # noqa: E731
     unet_params, fstext_params, vae_params = map(

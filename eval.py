@@ -55,12 +55,12 @@ def main() -> None:
         from seervideoldm_tpu.evaluation.fvd import FVDEvaluator
         from seervideoldm_tpu.evaluation.i3d import InceptionI3d, load_i3d_params
 
+        from seervideoldm_tpu.utils.inits import jit_init
+
         i3d = InceptionI3d()
-        # jit the init: an unjitted init dispatches thousands of eager ops
-        # (minutes of dead startup over the remote-dispatch relay)
-        i3d_params = jax.jit(lambda k: i3d.init(
-            k, jnp.zeros((1, cfg.num_frames, 224, 224, 3))
-        )["params"])(jax.random.PRNGKey(0))
+        i3d_params = jit_init(
+            lambda k: i3d.init(k, jnp.zeros((1, cfg.num_frames, 224, 224, 3))),
+            jax.random.PRNGKey(0))
         if cfg.i3d_ckpt:
             i3d_params = load_i3d_params(cfg.i3d_ckpt, i3d_params)
         else:
@@ -74,9 +74,12 @@ def main() -> None:
         from seervideoldm_tpu.evaluation.c3d import C3D, load_c3d_params
         from seervideoldm_tpu.evaluation.inception_score import inception_score
 
+        from seervideoldm_tpu.utils.inits import jit_init
+
         c3d = C3D()
-        c3d_params = jax.jit(lambda k: c3d.init(
-            k, jnp.zeros((1, 16, 112, 112, 3)))["params"])(jax.random.PRNGKey(0))
+        c3d_params = jit_init(
+            lambda k: c3d.init(k, jnp.zeros((1, 16, 112, 112, 3))),
+            jax.random.PRNGKey(0))
         if cfg.c3d_ckpt:
             mean_path = cfg.get("c3d_mean_path") or cfg.c3d_ckpt.replace(
                 "conv3d_deepnetA_ucf.npz", "mean2.npz"

@@ -59,7 +59,17 @@ def main() -> None:
         # stream forever by re-creating the iterator — itertools.cycle
         # would cache every decoded batch in host RAM for the whole run
         while True:
-            yield from loader
+            count = 0
+            for item in loader:
+                count += 1
+                yield item
+            if count == 0:
+                # without this, an empty loader (dataset shard smaller than
+                # val_batch_size with drop_last) spins here forever
+                raise RuntimeError(
+                    "validation loader yielded no batches — dataset shard "
+                    f"smaller than val_batch_size={cfg.val_batch_size}?"
+                )
 
     it = batches()
     try:

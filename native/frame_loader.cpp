@@ -32,23 +32,7 @@ namespace {
 
 class ThreadPool {
  public:
-  explicit ThreadPool(int n_threads) : stop_(false) {
-    for (int i = 0; i < n_threads; ++i) {
-      workers_.emplace_back([this] {
-        for (;;) {
-          std::function<void()> task;
-          {
-            std::unique_lock<std::mutex> lock(mu_);
-            cv_.wait(lock, [this] { return stop_ || !tasks_.empty(); });
-            if (stop_ && tasks_.empty()) return;
-            task = std::move(tasks_.front());
-            tasks_.pop();
-          }
-          task();
-        }
-      });
-    }
-  }
+  explicit ThreadPool(int n_threads) : stop_(false) { grow(n_threads); }
 
   ~ThreadPool() {
     {
@@ -57,6 +41,20 @@ class ThreadPool {
     }
     cv_.notify_all();
     for (auto& w : workers_) w.join();
+  }
+
+  void worker_loop() {
+    for (;;) {
+      std::function<void()> task;
+      {
+        std::unique_lock<std::mutex> lock(mu_);
+        cv_.wait(lock, [this] { return stop_ || !tasks_.empty(); });
+        if (stop_ && tasks_.empty()) return;
+        task = std::move(tasks_.front());
+        tasks_.pop();
+      }
+      task();
+    }
   }
 
   void submit(std::function<void()> task) {
@@ -73,19 +71,7 @@ class ThreadPool {
   void grow(int n_threads) {
     std::unique_lock<std::mutex> lock(mu_);
     while ((int)workers_.size() < n_threads) {
-      workers_.emplace_back([this] {
-        for (;;) {
-          std::function<void()> task;
-          {
-            std::unique_lock<std::mutex> lock(mu_);
-            cv_.wait(lock, [this] { return stop_ || !tasks_.empty(); });
-            if (stop_ && tasks_.empty()) return;
-            task = std::move(tasks_.front());
-            tasks_.pop();
-          }
-          task();
-        }
-      });
+      workers_.emplace_back([this] { worker_loop(); });
     }
   }
 

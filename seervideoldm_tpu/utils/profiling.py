@@ -62,9 +62,14 @@ class StepTimer:
         return self
 
     def __exit__(self, *exc) -> None:
+        import jax
         import jax.numpy as jnp
 
-        float(jnp.zeros(()) + 0.0)  # in-order queue drain (see docstring)
+        # in-order queue drain (see docstring) on EVERY local device: a
+        # scalar on the default device alone would not wait for the other
+        # chips of a sharded step
+        for d in jax.local_devices():
+            float(jax.device_put(jnp.zeros(()), d) + 0.0)
         self.times.append(time.perf_counter() - self._t0)
 
     def summary(self) -> dict:
