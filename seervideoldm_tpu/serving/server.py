@@ -59,6 +59,10 @@ class GenerationService:
         self._rng = jax.random.PRNGKey(seed)
         self._counter = 0
         self._lock = threading.Lock()
+        # end-to-end request latency (queue wait + sampling), last 256
+        from collections import deque
+
+        self._latencies: "deque[float]" = deque(maxlen=256)
         # constant across batches — don't retokenize in the hot path
         self._tok_uc = tokenizer([""] * max_batch)
         self.batcher = DynamicBatcher(self._handle_batch, max_batch,
@@ -75,9 +79,26 @@ class GenerationService:
                  timeout_s: float = 600.0) -> np.ndarray:
         """Blocking single-request API: returns (f, h, w, 3) video in [0,1]
         (cond frames prepended, the reference inference_img layout)."""
+        import time
+
         req = GenRequest(prompt=prompt, image=self.preprocess_image(image_bytes),
                          negative_prompt=negative_prompt)
-        return self.batcher.submit(req).result(timeout=timeout_s)
+        t0 = time.monotonic()
+        result = self.batcher.submit(req).result(timeout=timeout_s)
+        self._latencies.append(time.monotonic() - t0)
+        return result
+
+    def stats(self) -> dict:
+        lat = sorted(self._latencies)
+        pct = (lambda p: round(lat[min(len(lat) - 1,
+                                       int(p * len(lat)))], 3)) if lat else None
+        return {
+            "ok": True,
+            "batches": self.batcher.batches,
+            "requests": self.batcher.requests,
+            "latency_p50_s": pct(0.50) if lat else None,
+            "latency_p95_s": pct(0.95) if lat else None,
+        }
 
     def _handle_batch(self, reqs) -> list:
         n = len(reqs)
@@ -135,9 +156,7 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_GET(self):  # noqa: N802 — BaseHTTPRequestHandler API
         if self.path == "/healthz":
-            b = self.service.batcher
-            self._send_json(200, {"ok": True, "batches": b.batches,
-                                  "requests": b.requests})
+            self._send_json(200, self.service.stats())
         else:
             self._send_json(404, {"error": "not found"})
 

@@ -61,6 +61,13 @@ def main() -> None:
     print(f"serving on http://{cfg.serve_host}:{server.server_address[1]} "
           f"(max_batch={cfg.serve_max_batch}, steps={cfg.ddim_steps}, "
           f"sampler={cfg.sampler})", flush=True)
+    import signal
+
+    def _sigterm(*_a):
+        # systemd/k8s stop: unwind like Ctrl-C so sockets/threads close
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _sigterm)
     try:
         server.serve_forever()
     except KeyboardInterrupt:
