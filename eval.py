@@ -116,6 +116,7 @@ def main() -> None:
             ddim_steps=cfg.ddim_steps, guidance_scale=cfg.scale,
             sampler=cfg.sampler,
             guidance_interval=cfg.guidance_interval,
+            prediction_type=cfg.prediction_type,
         )
         # prepend cond frames to prediction (eval.py:225)
         pred = np.concatenate(

@@ -104,6 +104,7 @@ def main() -> None:
                 ddim_steps=cfg.ddim_steps, guidance_scale=cfg.scale,
                 sampler=cfg.sampler,
                 guidance_interval=cfg.guidance_interval,
+                prediction_type=cfg.prediction_type,
             )
             # gather every host's clips, write from rank 0 only (reference
             # utils/ddim_sampling_utils.py:60-63 concat_all_gather + rank gate)

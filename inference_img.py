@@ -66,6 +66,7 @@ def main() -> None:
         ddim_steps=cfg.ddim_steps, guidance_scale=cfg.scale,
         sampler=cfg.sampler,
         guidance_interval=cfg.guidance_interval,
+        prediction_type=cfg.prediction_type,
     )
     cond01 = np.asarray((cond + 1.0) / 2.0)
     os.makedirs(cfg.output_dir, exist_ok=True)

@@ -63,6 +63,9 @@ class Config:
     # standard diffusion practice. Costs one extra fp32 copy of the
     # trainable subtree. Checkpointed params use the EMA weights.
     ema_decay: float = 0.0
+    # beyond reference: "epsilon" (reference parity) or "v_prediction" —
+    # sets BOTH the training target and the samplers' output interpretation
+    prediction_type: str = "epsilon"
     save_steps: int = 1000
     saved_global_step: Optional[int] = None
     # checkpoint retention: keep only the newest N step directories
@@ -150,6 +153,11 @@ def validate(cfg: Config) -> Config:
     if cfg.sampler not in ("ddim", "dpm++", "dpmpp"):
         raise ValueError(
             f"sampler must be 'ddim' or 'dpm++', got {cfg.sampler!r}"
+        )
+    if cfg.prediction_type not in ("epsilon", "v_prediction"):
+        raise ValueError(
+            f"prediction_type must be 'epsilon' or 'v_prediction', "
+            f"got {cfg.prediction_type!r}"
         )
     gi = cfg.get("guidance_interval")
     if gi is not None and (

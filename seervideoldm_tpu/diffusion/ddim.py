@@ -122,12 +122,21 @@ def ddim_sample_loop(
     eta_noise_key: Optional[jax.Array] = None,
     temperature: float = 1.0,
     guidance_interval: Optional[tuple[float, float]] = None,
+    prediction_type: str = "epsilon",
 ) -> jnp.ndarray:
     """Run the full DDIM reverse process; returns final latents (b,f,h,w,c).
 
     ``tables`` must be reverse-ordered (index 0 = highest timestep), as
     produced by ``DiffusionSchedule.ddim_tables``.
+
+    ``prediction_type="v_prediction"`` (beyond reference; pairs with the
+    trainer's v target): the model output is interpreted as
+    ``v = sqrt(a)·eps - sqrt(1-a)·x0`` and converted to eps via
+    ``eps = sqrt(a)·v + sqrt(1-a)·x_t`` before the DDIM update — a
+    v-trained checkpoint samples correctly with no other changes.
     """
+    if prediction_type not in ("epsilon", "v_prediction"):
+        raise ValueError(f"unknown prediction type {prediction_type!r}")
     timesteps = jnp.asarray(tables.timesteps)
     alphas = jnp.asarray(tables.alphas)
     alphas_prev = jnp.asarray(tables.alphas_prev)
@@ -142,6 +151,11 @@ def ddim_sample_loop(
         t, a_t, a_prev, sigma_t, sqrt_1m_at, step_idx = per_step
         e_t = eps_fn(img, t)
         img32 = img.astype(jnp.float32)
+        if prediction_type == "v_prediction":
+            # CFG composes identically in v- and eps-space (the map is
+            # affine in the model output with an x_t term common to both
+            # branches), so converting after eps_fn is exact
+            e_t = jnp.sqrt(a_t) * e_t + sqrt_1m_at * img32
         pred_x0 = (img32 - sqrt_1m_at * e_t) / jnp.sqrt(a_t)
         dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma_t**2, 0.0)) * e_t
         x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt

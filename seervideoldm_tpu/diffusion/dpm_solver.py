@@ -48,6 +48,7 @@ def dpm_solver_sample_loop(
     order: int = 2,
     lower_order_final: bool = True,
     guidance_interval: Optional[tuple[float, float]] = None,
+    prediction_type: str = "epsilon",
 ) -> jnp.ndarray:
     """Run DPM-Solver++ over the same reverse-ordered ``tables`` grid the
     DDIM sampler uses (index 0 = highest timestep); returns final latents
@@ -62,6 +63,8 @@ def dpm_solver_sample_loop(
     instability at low step counts.  Keep it on."""
     if order not in (1, 2):
         raise ValueError(f"order must be 1 or 2, got {order}")
+    if prediction_type not in ("epsilon", "v_prediction"):
+        raise ValueError(f"unknown prediction type {prediction_type!r}")
 
     timesteps = jnp.asarray(tables.timesteps)
     alphas = jnp.asarray(tables.alphas)
@@ -82,6 +85,9 @@ def dpm_solver_sample_loop(
 
         alpha_t, sigma_t = jnp.sqrt(a_t), jnp.sqrt(1.0 - a_t)
         alpha_s, sigma_s = jnp.sqrt(a_prev), jnp.sqrt(1.0 - a_prev)
+        if prediction_type == "v_prediction":
+            # v -> eps (see ddim.py); data-prediction x0 below then follows
+            e_t = alpha_t * e_t + sigma_t * img32
         x0 = (img32 - sigma_t * e_t) / alpha_t
         h = lam(a_prev) - lam(a_t)  # > 0 (noise decreases)
 

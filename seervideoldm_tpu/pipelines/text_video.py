@@ -171,7 +171,7 @@ class SeerPipeline:
     @functools.lru_cache(maxsize=8)
     def _sample_fn(self, ddim_steps: int, guidance_scale: float, cond_frame: int,
                    use_cfg: bool, sampler: str = "ddim",
-                   guidance_interval=None):
+                   guidance_interval=None, prediction_type: str = "epsilon"):
         tables = self.schedule.ddim_tables(ddim_steps, eta=0.0)
         if sampler in ("dpm++", "dpmpp"):
             from ..diffusion.dpm_solver import dpm_solver_sample_loop
@@ -192,6 +192,7 @@ class SeerPipeline:
                 guidance_scale=guidance_scale if use_cfg else 1.0,
                 cond_frame=cond_frame,
                 guidance_interval=guidance_interval if use_cfg else None,
+                prediction_type=prediction_type,
             )
 
         return jax.jit(fn, donate_argnums=(1,) if self.donate_latents else ())
@@ -207,6 +208,7 @@ class SeerPipeline:
         cond_frame: int = 0,
         sampler: str = "ddim",
         guidance_interval=None,
+        prediction_type: str = "epsilon",
     ) -> jnp.ndarray:
         """Sample future-frame latents (DDIM by default; ``sampler="dpm++"``
         uses DPM-Solver++ 2M on the same step grid).
@@ -225,7 +227,8 @@ class SeerPipeline:
         if guidance_interval is not None:
             guidance_interval = tuple(float(v) for v in guidance_interval)
         fn = self._sample_fn(ddim_steps, float(guidance_scale), int(cond_frame),
-                             use_cfg, sampler, guidance_interval)
+                             use_cfg, sampler, guidance_interval,
+                             prediction_type)
         if not use_cfg:
             uncond_context = context  # placeholder, unused
         return fn(self.m.unet_params, x_T, x0_emb, context, uncond_context)
@@ -244,6 +247,7 @@ class SeerPipeline:
         cond_frame: int = 0,
         sampler: str = "ddim",
         guidance_interval=None,
+        prediction_type: str = "epsilon",
     ) -> jnp.ndarray:
         """Full path: cond frames (b, f1, h, w, 3) in [-1,1] + tokenized prompt
         -> decoded future frames (b, f2, h, w, 3) in [0,1]."""
@@ -278,5 +282,6 @@ class SeerPipeline:
             ddim_steps=ddim_steps, guidance_scale=guidance_scale,
             cond_frame=cond_frame, sampler=sampler,
             guidance_interval=guidance_interval,
+            prediction_type=prediction_type,
         )
         return self.vae_decode_video(latents)

@@ -225,3 +225,32 @@ def test_guidance_interval_partial_window_mixes_paths():
         img = (jnp.sqrt(a_prev) * pred_x0
                + jnp.sqrt(1.0 - a_prev) * e).astype(img.dtype)
     np.testing.assert_allclose(part, np.asarray(img), rtol=1e-5, atol=1e-6)
+
+
+def test_v_prediction_sampling_matches_epsilon():
+    """A v-model derived from a known eps-model must sample identically
+    under prediction_type='v_prediction' (the exact v<->eps affine map)."""
+    import pytest
+
+    tables = make_tables(4)
+    eps_const = 0.37
+    ts_tab = jnp.asarray(tables.timesteps, jnp.float32)
+    a_tab = jnp.asarray(tables.alphas)
+
+    def eps_unet(x, t, ctx, cf):
+        return jnp.full_like(x, eps_const)
+
+    def v_unet(x, t, ctx, cf):
+        a = jnp.sum(jnp.where(ts_tab == t[0].astype(jnp.float32), a_tab, 0.0))
+        x0 = (x - jnp.sqrt(1.0 - a) * eps_const) / jnp.sqrt(a)
+        return jnp.sqrt(a) * eps_const - jnp.sqrt(1.0 - a) * x0
+
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 2, 4, 4, 4), jnp.float32)
+    ctx = jnp.zeros((1, 2, 1, 8))
+    want = np.asarray(ddim_sample_loop(eps_unet, x, tables, ctx))
+    got = np.asarray(ddim_sample_loop(v_unet, x, tables, ctx,
+                                      prediction_type="v_prediction"))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    with pytest.raises(ValueError, match="prediction type"):
+        ddim_sample_loop(eps_unet, x, tables, ctx, prediction_type="sample")

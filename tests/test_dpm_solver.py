@@ -262,3 +262,30 @@ def test_degenerate_grid_step_stays_finite():
     assert np.isfinite(out).all()
     ddim_out = np.asarray(ddim_sample_loop(unet, x, tables, ctx))
     assert np.isfinite(ddim_out).all()
+
+
+def test_dpm_v_prediction_matches_epsilon():
+    """Same v<->eps equivalence through the DPM-Solver++ data-prediction
+    path (order 2)."""
+    from seervideoldm_tpu.diffusion.dpm_solver import dpm_solver_sample_loop
+    from seervideoldm_tpu.diffusion.schedules import DiffusionSchedule
+
+    tables = DiffusionSchedule.create(1000).ddim_tables(6)
+    eps_const = -0.21
+    ts_tab = jnp.asarray(tables.timesteps, jnp.float32)
+    a_tab = jnp.asarray(tables.alphas)
+
+    def eps_unet(x, t, ctx, cf):
+        return jnp.full_like(x, eps_const)
+
+    def v_unet(x, t, ctx, cf):
+        a = jnp.sum(jnp.where(ts_tab == t[0].astype(jnp.float32), a_tab, 0.0))
+        x0 = (x - jnp.sqrt(1.0 - a) * eps_const) / jnp.sqrt(a)
+        return jnp.sqrt(a) * eps_const - jnp.sqrt(1.0 - a) * x0
+
+    x = jnp.asarray(np.random.RandomState(1).randn(1, 2, 4, 4, 4), jnp.float32)
+    ctx = jnp.zeros((1, 2, 1, 8))
+    want = np.asarray(dpm_solver_sample_loop(eps_unet, x, tables, ctx))
+    got = np.asarray(dpm_solver_sample_loop(v_unet, x, tables, ctx,
+                                            prediction_type="v_prediction"))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)

@@ -134,6 +134,7 @@ def main() -> None:
         models, tx, cond_frames=cfg.cond_frames,
         text_loss=bool(cfg.text_loss), frozen_params=frozen,
         ema_decay=float(cfg.ema_decay),
+        prediction_type=cfg.prediction_type,
     )
     prepare = prepare_batch_fn(models)
 
