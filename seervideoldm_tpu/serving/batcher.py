@@ -38,10 +38,15 @@ class DynamicBatcher:
                  max_queue: int | None = None):
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
+        if max_queue is not None and max_queue < 1:
+            # 0 would silently become the default and negatives would make
+            # an UNBOUNDED stdlib queue — the exact hole the bound closes
+            raise ValueError("max_queue must be >= 1 (or None for default)")
         self._handler = handler
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1000.0
-        self._q: queue.Queue = queue.Queue(maxsize=max_queue or 4 * max_batch)
+        self._q: queue.Queue = queue.Queue(
+            maxsize=max_queue if max_queue is not None else 4 * max_batch)
         self._thread: threading.Thread | None = None
         # guards the start/stop/submit lifecycle: without it a submit that
         # passed the liveness check could enqueue into a just-drained queue
@@ -62,20 +67,20 @@ class DynamicBatcher:
         return self
 
     def stop(self) -> None:
+        # flip the liveness marker under the lock (submit now fails fast),
+        # but do the blocking put/join OUTSIDE it — holding the lock across
+        # a full-queue put + a backlog-draining join would hang every
+        # concurrent submit() on the lock instead of erroring immediately
         with self._lifecycle:
-            if self._thread is None:
+            worker = self._thread
+            if worker is None:
                 return
-            self._q.put(None)  # blocking put: the sentinel must get through
-            self._thread.join()
             self._thread = None
-            # fail any requests racing the shutdown instead of hanging them
-            while True:
-                try:
-                    item = self._q.get_nowait()
-                except queue.Empty:
-                    break
-                if item is not None:
-                    item[1].set_exception(RuntimeError("batcher stopped"))
+        self._q.put(None)  # blocking put: the sentinel must get through
+        worker.join()
+        # FIFO + the lock guarantee nothing can follow the sentinel; the
+        # worker drained every request enqueued before it
+        assert self._q.empty(), "requests enqueued after the stop sentinel"
 
     def submit(self, item: Any) -> Future:
         fut: Future = Future()

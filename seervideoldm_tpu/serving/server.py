@@ -79,9 +79,18 @@ class GenerationService:
                  timeout_s: float = 600.0) -> np.ndarray:
         """Blocking single-request API: returns (f, h, w, 3) video in [0,1]
         (cond frames prepended, the reference inference_img layout)."""
+        return self.generate_array(prompt, self.preprocess_image(image_bytes),
+                                   negative_prompt, timeout_s)
+
+    def generate_array(self, prompt: str, image: np.ndarray,
+                       negative_prompt: str = "",
+                       timeout_s: float = 600.0) -> np.ndarray:
+        """As ``generate`` but with a preprocessed (res, res, 3) [-1,1] array
+        — lets the HTTP layer decode/validate the image in its own error
+        class (bad image = client 400, not a server 500)."""
         import time
 
-        req = GenRequest(prompt=prompt, image=self.preprocess_image(image_bytes),
+        req = GenRequest(prompt=prompt, image=image,
                          negative_prompt=negative_prompt)
         t0 = time.monotonic()
         result = self.batcher.submit(req).result(timeout=timeout_s)
@@ -164,22 +173,32 @@ class _Handler(BaseHTTPRequestHandler):
         if self.path != "/generate":
             self._send_json(404, {"error": "not found"})
             return
+        length = int(self.headers.get("Content-Length", 0) or 0)
+        if length > 32 * 1024 * 1024:
+            # never buffer a client-declared multi-GB body
+            self._send_json(413, {"error": f"body too large ({length} bytes)"})
+            return
         try:
-            length = int(self.headers.get("Content-Length", 0))
             payload = json.loads(self.rfile.read(length))
             prompt = payload.get("prompt", "")
             negative = payload.get("negative_prompt", "")
             if not isinstance(prompt, str) or not isinstance(negative, str):
                 raise ValueError("prompt/negative_prompt must be strings")
-            image_bytes = base64.b64decode(payload["image"])
+            # tolerate line-wrapped base64 (`base64` without -w0), but
+            # validate the rest — silent char-dropping hides corrupt payloads
+            image_b64 = "".join(payload["image"].split())
+            image_bytes = base64.b64decode(image_b64, validate=True)
+            # decode HERE so undecodable image bytes are a 400, not a 500
+            image = self.service.preprocess_image(image_bytes)
         except Exception as exc:  # noqa: BLE001 — ANY malformed payload is a
-            # client error (non-dict JSON, non-str image, bad b64, ...): a
-            # narrower catch would drop the connection with no response
+            # client error (non-dict JSON, non-str image, bad b64, corrupt
+            # image, ...): a narrower catch would drop the connection or
+            # misreport client garbage as a server failure
             self._send_json(400, {"error": f"bad request: {exc}"})
             return
         try:
-            video = self.service.generate(prompt, image_bytes,
-                                          negative_prompt=negative)
+            video = self.service.generate_array(prompt, image,
+                                                negative_prompt=negative)
         except BatcherOverloaded as exc:
             self._send_json(503, {"error": f"overloaded: {exc}"})
             return

@@ -67,8 +67,10 @@ def test_batcher_overload_sheds_requests():
     import threading
 
     gate = threading.Event()
+    entered = threading.Event()
 
     def handler(items):
+        entered.set()  # item 0 is out of the queue once this fires
         gate.wait(10)
         return items
 
@@ -76,7 +78,7 @@ def test_batcher_overload_sheds_requests():
 
     b = DynamicBatcher(handler, max_batch=1, max_wait_ms=1, max_queue=2).start()
     first = b.submit(0)  # occupies the worker (blocked on gate)
-    time.sleep(0.2)
+    assert entered.wait(10)
     b.submit(1), b.submit(2)  # fill the queue
     with pytest.raises(BatcherOverloaded):
         b.submit(3)
@@ -235,6 +237,28 @@ def test_http_end_to_end(service):
         with pytest.raises(urllib.error.HTTPError) as exc_info:
             urllib.request.urlopen(req, timeout=30)
         assert exc_info.value.code == 400
+
+        # bad request: valid base64 of NOT-an-image must be a 400, not a 500
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=json.dumps({"prompt": "x", "image": base64.b64encode(
+                b"definitely not a png").decode()}).encode(),
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            urllib.request.urlopen(req, timeout=30)
+        assert exc_info.value.code == 400
+
+        # oversized declared body -> 413 before buffering it (raw client:
+        # urllib would overwrite a hand-set Content-Length)
+        import http.client
+
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.putrequest("POST", "/generate")
+        conn.putheader("Content-Type", "application/json")
+        conn.putheader("Content-Length", str(64 * 1024 * 1024))
+        conn.endheaders()
+        assert conn.getresponse().status == 413
+        conn.close()
 
         # unknown path
         with pytest.raises(urllib.error.HTTPError) as exc_info:

@@ -167,10 +167,14 @@ def main() -> None:
             # differs from the template (ema_params present vs None). Retry
             # with the other template and migrate instead of surfacing an
             # opaque Orbax structure mismatch.
+            del state  # free the failed template's opt/EMA buffers FIRST —
+            # at flagship scale template + alternate + restored tree live
+            # simultaneously otherwise, and the resume would OOM the chip
             try:
                 alt = replicate_global(
                     mesh, TrainState.create(trainable, tx, ema=not use_ema))
                 restored = ckpt.restore(global_step, alt)
+                del alt
             except Exception:
                 raise orig  # not an EMA-shape mismatch — surface the original
             if use_ema:
