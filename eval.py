@@ -143,6 +143,12 @@ def main() -> None:
             pred_stack, gt_stack = [], []
         if cfg.compute_is and (n_acc >= cfg.MAX_IS_BATCH or last):
             samples_np = pred_cat / 127.5 - 1.0
+            if cfg.is_cast_frames and samples_np.shape[1] != 16:
+                # opt-in: meet the C3D 16-frame contract on 12-frame recipes
+                from seervideoldm_tpu.data.transforms import resample_frames
+
+                samples_np = np.stack(
+                    [resample_frames(clip, 16) for clip in samples_np])
             is_mean, is_std, y_score_stack = inception_score(
                 c3d_classify, samples_np.astype(np.float32), y_score_stack
             )

@@ -96,6 +96,9 @@ class Config:
     MAX_FVD_BATCH: int = 32
     compute_is: bool = False
     MAX_IS_BATCH: int = 100
+    # beyond reference: trilinear-resample clips to the C3D's 16-frame
+    # contract so IS runs on 12-frame recipes (the reference crashes there)
+    is_cast_frames: bool = False
     i3d_ckpt: Optional[str] = None
     c3d_ckpt: Optional[str] = None
 

@@ -55,6 +55,16 @@ def _linear_resample(video: np.ndarray, frames: int) -> np.ndarray:
     return video[lo] * (1.0 - w_hi) + video[hi] * w_hi
 
 
+def resample_frames(video: np.ndarray, frames: int) -> np.ndarray:
+    """Temporal linear resample in BOTH directions, (f,h,w,c)->(frames,h,w,c).
+
+    Unlike ``cast_num_frames`` (reference parity: zero-pad when growing,
+    ``dataset/data_utils.py``), this interpolates when upsampling — used by
+    the ``is_cast_frames`` eval knob to run the 16-frame C3D IS on 12-frame
+    recipes (the reference simply crashes there)."""
+    return _linear_resample(video, frames) if video.shape[0] != frames else video
+
+
 def cast_num_frames(video: np.ndarray, frames: int) -> np.ndarray:
     """(f, h, w, c) -> (frames, h, w, c): trilinear shrink or zero-pad."""
     f = video.shape[0]

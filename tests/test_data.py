@@ -269,3 +269,28 @@ def test_save_visualization_respects_num_sample_rows(tmp_path):
                        global_step=1, num_sample_rows=2)
     with Image.open(tmp_path / "sample-1.gif") as img:
         assert img.size == (3 * w, h)
+
+
+def test_resample_frames_interpolates_both_directions():
+    """Linear temporal ramp stays exactly linear through up- AND
+    down-sampling (cast_num_frames zero-pads upward instead)."""
+    from seervideoldm_tpu.data.transforms import resample_frames
+
+    f = 12
+    ramp = np.broadcast_to(
+        np.arange(f, dtype=np.float32).reshape(f, 1, 1, 1), (f, 2, 2, 3)
+    ).copy()
+    up = resample_frames(ramp, 16)
+    assert up.shape == (16, 2, 2, 3)
+    # align_corners=False source coords of a linear signal are linear except
+    # at the clamped ends
+    src = np.clip((np.arange(16) + 0.5) * (12 / 16) - 0.5, 0, 11)
+    np.testing.assert_allclose(up[:, 0, 0, 0], src.astype(np.float32),
+                               rtol=1e-6, atol=1e-6)
+    down = resample_frames(ramp, 8)
+    assert down.shape == (8, 2, 2, 3)
+    src8 = np.clip((np.arange(8) + 0.5) * (12 / 8) - 0.5, 0, 11)
+    np.testing.assert_allclose(down[:, 0, 0, 0], src8.astype(np.float32),
+                               rtol=1e-6, atol=1e-6)
+    same = resample_frames(ramp, 12)
+    assert same is ramp
