@@ -289,10 +289,11 @@ def main() -> None:
                 else jnp.mean(jnp.stack(window_losses))
             )
             window_losses = []
-            pending_losses.append((global_step, window_mean))
+            pending_losses.append((global_step, window_mean,
+                                   metrics["grad_norm"]))
             if len(pending_losses) >= 10 or global_step % cfg.save_steps == 0:
                 # fetch device scalars in one batch (no per-step host sync)
-                for gs, dev_loss in pending_losses:
+                for gs, dev_loss, dev_gnorm in pending_losses:
                     loss = float(dev_loss)
                     lr = float(schedule_fn(gs))
                     losses_train.update(loss, gs)
@@ -300,6 +301,7 @@ def main() -> None:
                     if writer is not None:
                         writer.add_scalar("loss", loss, gs)
                         writer.add_scalar("lr", lr, gs)
+                        writer.add_scalar("grad_norm", float(dev_gnorm), gs)
                 pending_losses = []
             if global_step % 50 == 0:
                 loss = losses_train.val if losses_train.val is not None else float("nan")
@@ -343,7 +345,7 @@ def main() -> None:
 
     # --- end-of-training finalization ---
     # flush metric entries still pending from a partial 10-entry window
-    for gs, dev_loss in pending_losses:
+    for gs, dev_loss, dev_gnorm in pending_losses:
         loss = float(dev_loss)
         lr = float(schedule_fn(gs))
         losses_train.update(loss, gs)
@@ -351,6 +353,7 @@ def main() -> None:
         if writer is not None:
             writer.add_scalar("loss", loss, gs)
             writer.add_scalar("lr", lr, gs)
+            writer.add_scalar("grad_norm", float(dev_gnorm), gs)
     pending_losses = []
     # save the final state unless the last step already did — otherwise up
     # to save_steps-1 optimizer steps of training would be unloadable
