@@ -45,6 +45,11 @@ def main() -> None:
                         metavar=("LO", "HI"),
                         help="CFG only for timesteps in [LO, HI] (beyond "
                              "reference; headline protocol omits this)")
+    parser.add_argument("--pab", type=int, nargs=3, default=None,
+                        metavar=("SPATIAL", "CROSS", "TEMPORAL"),
+                        help="Pyramid Attention Broadcast ranges (beyond "
+                             "reference; headline protocol omits this). "
+                             "Typical: --pab 2 6 4")
     args = parser.parse_args()
 
     from seervideoldm_tpu.diffusion.ddim import ddim_sample_loop
@@ -89,6 +94,17 @@ def main() -> None:
     schedule = DiffusionSchedule.create(1000)
     tables = schedule.ddim_tables(args.ddim_steps, eta=0.0)
 
+    if args.pab is not None:
+        from seervideoldm_tpu.diffusion.pab import PABConfig, build_pab_schedule
+
+        s, c, t_ = args.pab
+        # schedule over the ACTUAL table length (the +1-offset grid can
+        # produce more steps than ddim_steps, e.g. 30 -> 31)
+        pab_schedule = build_pab_schedule(
+            len(tables.timesteps),
+            PABConfig(spatial_range=s, cross_range=c, temporal_range=t_),
+        )
+
     def ddim(unet_params, fstext_params, x_T, x0_emb, clip_emb):
         context = fstext.apply({"params": fstext_params}, clip_emb)
         uncond = jnp.broadcast_to(clip_emb[:, None], (b, f, *clip_emb.shape[1:]))
@@ -96,12 +112,22 @@ def main() -> None:
         def unet_apply(x, t, ctx, cf):
             return unet.apply({"params": unet_params}, x, t, ctx, cf)
 
+        pab = None
+        if args.pab is not None:
+            def pab_apply(x, t, ctx, cf, st, flags):
+                out, mut = unet.apply({"params": unet_params, "pab": st},
+                                      x, t, ctx, cf, pab=flags, mutable=["pab"])
+                return out, mut["pab"]
+
+            pab = (*pab_schedule, pab_apply)
+
         loop = dpm_solver_sample_loop if args.sampler == "dpm++" else ddim_sample_loop
         return loop(
             unet_apply, x_T, tables, context, x0_emb=x0_emb,
             uncond_context=uncond, guidance_scale=7.5,
             guidance_interval=(tuple(args.guidance_interval)
                                if args.guidance_interval else None),
+            **({"pab": pab} if pab is not None else {}),
         )
 
     def latents_fn(unet_params, fstext_params, vae_params, x_T, cond_pixels,
@@ -184,6 +210,7 @@ def main() -> None:
                          f"latents only ({args.sampler})"),
             "resolution": args.resolution, "num_frames": f,
             "ddim_steps": args.ddim_steps, "sampler": args.sampler,
+            "pab_ranges": args.pab,
             "e2e_clip_latency_s": round(dt_e2e, 4),
             "latents_only_latency_s": round(dt_lat, 4),
             "latents_only_frames_per_sec_per_chip": round(

@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from seervideoldm_tpu.config import parse_args
+from seervideoldm_tpu.config import pab_config_from, parse_args
 from seervideoldm_tpu.data import DataLoader, build_dataset
 from seervideoldm_tpu.parallel.distributed import (
     gather_across_hosts,
@@ -105,6 +105,7 @@ def main() -> None:
                 sampler=cfg.sampler,
                 guidance_interval=cfg.guidance_interval,
                 prediction_type=cfg.prediction_type,
+                pab_config=pab_config_from(cfg),
             )
             # gather every host's clips, write from rank 0 only (reference
             # utils/ddim_sampling_utils.py:60-63 concat_all_gather + rank gate)

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 from PIL import Image
 
-from seervideoldm_tpu.config import parse_args
+from seervideoldm_tpu.config import pab_config_from, parse_args
 from seervideoldm_tpu.data.transforms import image_to_model_input
 from seervideoldm_tpu.parallel.mesh import create_mesh
 from seervideoldm_tpu.pipelines.loading import (
@@ -67,6 +67,7 @@ def main() -> None:
         sampler=cfg.sampler,
         guidance_interval=cfg.guidance_interval,
         prediction_type=cfg.prediction_type,
+        pab_config=pab_config_from(cfg),
     )
     cond01 = np.asarray((cond + 1.0) / 2.0)
     os.makedirs(cfg.output_dir, exist_ok=True)

@@ -84,6 +84,15 @@ class Config:
     # beyond reference: [lo, hi] timestep window — CFG runs only inside it
     # (single-batch UNet calls outside). null = CFG at every step (parity).
     guidance_interval: Optional[list] = None
+    # beyond reference: Pyramid Attention Broadcast (arXiv 2408.12588) —
+    # reuse per-attention-type residual deltas across sampler steps.
+    # pab: false = off (parity). Ranges = compute every N-th step inside the
+    # pab_window fraction of the trajectory; 1 = never broadcast that type.
+    pab: bool = False
+    pab_spatial_range: int = 2
+    pab_cross_range: int = 6
+    pab_temporal_range: int = 4
+    pab_window: list = field(default_factory=lambda: [0.1, 0.9])
     num_samples: int = 1
     sample_iter: int = 1
     n_rows: int = 2
@@ -135,6 +144,21 @@ class Config:
 _FIELDS = {f.name for f in dataclasses.fields(Config)}
 
 
+def pab_config_from(cfg: "Config"):
+    """Build a ``diffusion.pab.PABConfig`` from the flat YAML knobs, or None
+    when ``pab: false`` (the parity default)."""
+    if not cfg.get("pab"):
+        return None
+    from .diffusion.pab import PABConfig
+
+    return PABConfig(
+        spatial_range=int(cfg.pab_spatial_range),
+        cross_range=int(cfg.pab_cross_range),
+        temporal_range=int(cfg.pab_temporal_range),
+        window=tuple(float(v) for v in cfg.pab_window),
+    )
+
+
 def _coerce(value: str) -> Any:
     """Parse a CLI override value with YAML semantics (``1`` -> int, etc.)."""
     return yaml.safe_load(value)
@@ -171,6 +195,14 @@ def validate(cfg: Config) -> Config:
             f"guidance_interval must be [lo, hi] timesteps with lo <= hi, "
             f"got {gi!r}"
         )
+    if cfg.get("pab"):
+        if gi is not None:
+            raise ValueError(
+                "pab and guidance_interval cannot be combined: the interval's "
+                "single-batch CFG branch conflicts with the CFG-batched PAB "
+                "attention cache"
+            )
+        pab_config_from(cfg)  # raises on invalid ranges/window
     if cfg.get("center_crop") is False:
         raise ValueError(
             "center_crop: false is not supported: the reference's live data "

@@ -37,12 +37,20 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 
+from .pab import COMPUTE_ALL, mode_to_flags
 from .schedules import DDIMTables
 
 UNetApply = Callable[..., jnp.ndarray]
 # unet_apply(x, timesteps, context, cond_frame) -> eps, with
 #   x: (b, f, h, w, c) latents, timesteps: (b,) int32,
 #   context: (b, f_ctx, l, d) FSText embeddings.
+#
+# PAB (Pyramid Attention Broadcast, diffusion/pab.py) variant threading the
+# attention-delta cache:
+# pab_apply(x, timesteps, context, cond_frame, pab_state, flags)
+#   -> (eps, new_pab_state), with `flags` a STATIC mode dict — the sampler
+#   dispatches over modes with lax.switch so each branch is one fully-fused
+#   static UNet graph.
 
 
 def make_eps_fn(
@@ -53,7 +61,8 @@ def make_eps_fn(
     guidance_scale: float,
     cond_frame: int,
     guidance_interval: Optional[tuple[float, float]] = None,
-) -> Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
+    pab: Optional[tuple] = None,
+) -> Callable[..., jnp.ndarray]:
     """Build ``eps(img, t) -> e_t`` with the reference's conditioning
     mechanics (``ddim_video.py:185-211``), shared by every sampler:
 
@@ -68,6 +77,10 @@ def make_eps_fn(
     ``lo <= t <= hi``; outside the window the step takes the single
     cond-only UNet call, halving its batch.  At DDIM-50 with the SD-1.5
     schedule, roughly the fraction of steps outside the window is saved.
+
+    ``pab=(modes, pab_apply)`` (Pyramid Attention Broadcast): the returned
+    fn is stateful — ``eps(img, t, pab_state, mode_ix) -> (e_t, new_state)``
+    with ``lax.switch(mode_ix)`` over one static UNet graph per mode.
     """
     b = context.shape[0]
     use_cfg = uncond_context is not None and guidance_scale != 1.0
@@ -77,6 +90,53 @@ def make_eps_fn(
         ctx_in = jnp.concatenate([uncond_context, context], axis=0)
     else:
         ctx_in = context
+
+    if pab is not None:
+        # the delta cache is shaped for exactly one UNet call per step: the
+        # two-call unequal-context CFG path and the batch-halving
+        # guidance_interval cond are shape-incompatible with it
+        if unequal_cfg:
+            raise ValueError(
+                "PAB requires the batched CFG path; expand uncond_context to "
+                "match context's shape (as every reference entry point does)"
+            )
+        if guidance_interval is not None:
+            raise ValueError(
+                "PAB and guidance_interval cannot be combined: the interval's "
+                "single-batch branch conflicts with the CFG-batched PAB cache"
+            )
+        modes, pab_apply = pab
+
+        def eps_pab(img, t, pab_state, mode_ix):
+            x_cat = img if x0_emb is None else jnp.concatenate([x0_emb, img], axis=1)
+            ts = jnp.full((b,), t, dtype=jnp.int32)
+            if use_cfg:
+                x_in = jnp.concatenate([x_cat, x_cat], axis=0)
+                t_in = jnp.concatenate([ts, ts], axis=0)
+                ctx = ctx_in
+            else:
+                x_in, t_in, ctx = x_cat, ts, context
+
+            def make_branch(mode):
+                flags = mode_to_flags(mode)
+
+                def branch(x_in, t_in, pab_state):
+                    return pab_apply(x_in, t_in, ctx, cond_frame, pab_state, flags)
+
+                return branch
+
+            e_all, new_state = jax.lax.switch(
+                mode_ix, [make_branch(m) for m in modes], x_in, t_in, pab_state
+            )
+            e_all = e_all[:, cond_f:]
+            if use_cfg:
+                e_uncond, e_cond = jnp.split(e_all, 2, axis=0)
+                e_t = e_uncond + guidance_scale * (e_cond - e_uncond)
+            else:
+                e_t = e_all
+            return e_t.astype(jnp.float32), new_state
+
+        return eps_pab
 
     def eps_single(x_cat: jnp.ndarray, ts: jnp.ndarray) -> jnp.ndarray:
         return unet_apply(x_cat, ts, context, cond_frame)[:, cond_f:]
@@ -110,6 +170,40 @@ def make_eps_fn(
     return eps
 
 
+def make_pab_init_state(
+    pab_apply,
+    x_T: jnp.ndarray,
+    context: jnp.ndarray,
+    x0_emb: Optional[jnp.ndarray],
+    uncond_context: Optional[jnp.ndarray],
+    guidance_scale: float,
+    cond_frame: int,
+):
+    """Zero-filled PAB cache pytree with the exact structure/shapes/dtypes
+    the all-compute UNet mode writes (via ``jax.eval_shape`` — no compute).
+
+    The zeros never reach an output: the schedule's step 0 is always the
+    all-compute mode, which overwrites every entry before any step
+    broadcasts (diffusion/pab.py ``build_pab_schedule``).
+    """
+    b = context.shape[0]
+    use_cfg = uncond_context is not None and guidance_scale != 1.0
+
+    def prime(img):
+        x_cat = img if x0_emb is None else jnp.concatenate([x0_emb, img], axis=1)
+        ts = jnp.zeros((b,), dtype=jnp.int32)
+        if use_cfg:
+            x_in = jnp.concatenate([x_cat, x_cat], axis=0)
+            t_in = jnp.concatenate([ts, ts], axis=0)
+            ctx = jnp.concatenate([uncond_context, context], axis=0)
+        else:
+            x_in, t_in, ctx = x_cat, ts, context
+        return pab_apply(x_in, t_in, ctx, cond_frame, {}, mode_to_flags(COMPUTE_ALL))[1]
+
+    shapes = jax.eval_shape(prime, x_T)
+    return jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+
 def ddim_sample_loop(
     unet_apply: UNetApply,
     x_T: jnp.ndarray,
@@ -123,6 +217,7 @@ def ddim_sample_loop(
     temperature: float = 1.0,
     guidance_interval: Optional[tuple[float, float]] = None,
     prediction_type: str = "epsilon",
+    pab: Optional[tuple] = None,
 ) -> jnp.ndarray:
     """Run the full DDIM reverse process; returns final latents (b,f,h,w,c).
 
@@ -134,6 +229,11 @@ def ddim_sample_loop(
     ``v = sqrt(a)·eps - sqrt(1-a)·x0`` and converted to eps via
     ``eps = sqrt(a)·v + sqrt(1-a)·x_t`` before the DDIM update — a
     v-trained checkpoint samples correctly with no other changes.
+
+    ``pab=(modes, mode_idx, pab_apply)`` (Pyramid Attention Broadcast,
+    diffusion/pab.py; beyond reference): per-step ``lax.switch`` over one
+    static UNet graph per mode, with the attention-delta cache riding the
+    scan carry.  ``mode_idx`` must have one entry per sampler step.
     """
     if prediction_type not in ("epsilon", "v_prediction"):
         raise ValueError(f"unknown prediction type {prediction_type!r}")
@@ -144,12 +244,7 @@ def ddim_sample_loop(
     sqrt_one_minus = jnp.asarray(tables.sqrt_one_minus_alphas)
     num_steps = timesteps.shape[0]
 
-    eps_fn = make_eps_fn(unet_apply, context, x0_emb, uncond_context,
-                         guidance_scale, cond_frame, guidance_interval)
-
-    def step(img, per_step):
-        t, a_t, a_prev, sigma_t, sqrt_1m_at, step_idx = per_step
-        e_t = eps_fn(img, t)
+    def ddim_update(img, e_t, a_t, a_prev, sigma_t, sqrt_1m_at, step_idx):
         img32 = img.astype(jnp.float32)
         if prediction_type == "v_prediction":
             # CFG composes identically in v- and eps-space (the map is
@@ -164,7 +259,46 @@ def ddim_sample_loop(
             x_prev = x_prev + sigma_t * temperature * jax.random.normal(
                 key, img.shape, dtype=jnp.float32
             )
-        return x_prev.astype(img.dtype), None
+        return x_prev.astype(img.dtype)
+
+    if pab is not None:
+        modes, mode_idx, pab_apply = pab
+        if len(mode_idx) != num_steps:
+            raise ValueError(
+                f"PAB schedule has {len(mode_idx)} steps but the sampler runs "
+                f"{num_steps}; build it with build_pab_schedule(num_steps, ...)"
+            )
+        eps_fn = make_eps_fn(unet_apply, context, x0_emb, uncond_context,
+                             guidance_scale, cond_frame, guidance_interval,
+                             pab=(modes, pab_apply))
+        pab_state0 = make_pab_init_state(
+            pab_apply, x_T, context, x0_emb, uncond_context, guidance_scale,
+            cond_frame,
+        )
+
+        def step_pab(carry, per_step):
+            img, st = carry
+            t, a_t, a_prev, sigma_t, sqrt_1m_at, step_idx, mode_ix = per_step
+            e_t, st = eps_fn(img, t, st, mode_ix)
+            x_prev = ddim_update(img, e_t, a_t, a_prev, sigma_t, sqrt_1m_at, step_idx)
+            return (x_prev, st), None
+
+        per_step = (
+            timesteps, alphas, alphas_prev, sigmas, sqrt_one_minus,
+            jnp.arange(num_steps, dtype=jnp.int32),
+            jnp.asarray(mode_idx, dtype=jnp.int32),
+        )
+        (final, _), _ = jax.lax.scan(step_pab, (x_T, pab_state0), per_step)
+        return final
+
+    eps_fn = make_eps_fn(unet_apply, context, x0_emb, uncond_context,
+                         guidance_scale, cond_frame, guidance_interval)
+
+    def step(img, per_step):
+        t, a_t, a_prev, sigma_t, sqrt_1m_at, step_idx = per_step
+        e_t = eps_fn(img, t)
+        x_prev = ddim_update(img, e_t, a_t, a_prev, sigma_t, sqrt_1m_at, step_idx)
+        return x_prev, None
 
     per_step = (
         timesteps,

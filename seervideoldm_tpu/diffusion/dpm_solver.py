@@ -32,7 +32,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from .ddim import UNetApply, make_eps_fn
+from .ddim import UNetApply, make_eps_fn, make_pab_init_state
 from .schedules import DDIMTables
 
 
@@ -49,6 +49,7 @@ def dpm_solver_sample_loop(
     lower_order_final: bool = True,
     guidance_interval: Optional[tuple[float, float]] = None,
     prediction_type: str = "epsilon",
+    pab: Optional[tuple] = None,
 ) -> jnp.ndarray:
     """Run DPM-Solver++ over the same reverse-ordered ``tables`` grid the
     DDIM sampler uses (index 0 = highest timestep); returns final latents
@@ -71,16 +72,10 @@ def dpm_solver_sample_loop(
     alphas_prev = jnp.asarray(tables.alphas_prev)
     num_steps = timesteps.shape[0]
 
-    eps_fn = make_eps_fn(unet_apply, context, x0_emb, uncond_context,
-                         guidance_scale, cond_frame, guidance_interval)
-
     def lam(a):  # log-SNR from ᾱ
         return 0.5 * (jnp.log(a) - jnp.log1p(-a))
 
-    def step(carry, per_step):
-        img, x0_prev, h_prev = carry
-        t, a_t, a_prev, step_idx = per_step
-        e_t = eps_fn(img, t)
+    def dpm_update(img, e_t, x0_prev, h_prev, t, a_t, a_prev, step_idx):
         img32 = img.astype(jnp.float32)
 
         alpha_t, sigma_t = jnp.sqrt(a_t), jnp.sqrt(1.0 - a_t)
@@ -109,10 +104,50 @@ def dpm_solver_sample_loop(
             d = x0
 
         x_s = (sigma_s / sigma_t) * img32 - alpha_s * jnp.expm1(-h) * d
-        return (x_s.astype(img.dtype), x0, h), None
+        return x_s.astype(img.dtype), x0, h
 
-    per_step = (timesteps, alphas, alphas_prev,
-                jnp.arange(num_steps, dtype=jnp.int32))
+    step_ids = jnp.arange(num_steps, dtype=jnp.int32)
+
+    if pab is not None:
+        modes, mode_idx, pab_apply = pab
+        if len(mode_idx) != num_steps:
+            raise ValueError(
+                f"PAB schedule has {len(mode_idx)} steps but the sampler runs "
+                f"{num_steps}; build it with build_pab_schedule(num_steps, ...)"
+            )
+        eps_fn = make_eps_fn(unet_apply, context, x0_emb, uncond_context,
+                             guidance_scale, cond_frame, guidance_interval,
+                             pab=(modes, pab_apply))
+        pab_state0 = make_pab_init_state(
+            pab_apply, x_T, context, x0_emb, uncond_context, guidance_scale,
+            cond_frame,
+        )
+
+        def step_pab(carry, per_step):
+            img, x0_prev, h_prev, st = carry
+            t, a_t, a_prev, step_idx, mode_ix = per_step
+            e_t, st = eps_fn(img, t, st, mode_ix)
+            x_s, x0, h = dpm_update(img, e_t, x0_prev, h_prev, t, a_t, a_prev, step_idx)
+            return (x_s, x0, h, st), None
+
+        per_step = (timesteps, alphas, alphas_prev, step_ids,
+                    jnp.asarray(mode_idx, dtype=jnp.int32))
+        init = (x_T, jnp.zeros_like(x_T, dtype=jnp.float32), jnp.asarray(1.0),
+                pab_state0)
+        (final, _, _, _), _ = jax.lax.scan(step_pab, init, per_step)
+        return final
+
+    eps_fn = make_eps_fn(unet_apply, context, x0_emb, uncond_context,
+                         guidance_scale, cond_frame, guidance_interval)
+
+    def step(carry, per_step):
+        img, x0_prev, h_prev = carry
+        t, a_t, a_prev, step_idx = per_step
+        e_t = eps_fn(img, t)
+        x_s, x0, h = dpm_update(img, e_t, x0_prev, h_prev, t, a_t, a_prev, step_idx)
+        return (x_s, x0, h), None
+
+    per_step = (timesteps, alphas, alphas_prev, step_ids)
     init = (x_T, jnp.zeros_like(x_T, dtype=jnp.float32), jnp.asarray(1.0))
     (final, _, _), _ = jax.lax.scan(step, init, per_step)
     return final

@@ -23,9 +23,35 @@ import flax.linen as nn
 from jax.ad_checkpoint import checkpoint_name
 import jax.numpy as jnp
 
+from ..diffusion.pab import CROSS, SPATIAL, TEMPORAL
 from ..ops.attention import CrossAttention, WindowTemporalAttention
 from ..ops.conv import InflatedConv
 from ..ops.norms import GroupNorm, LayerNorm
+
+
+def _pab_cache_missing():
+    raise ValueError(
+        "PAB cache read before it was written — the first sampler step (and "
+        "the priming eval_shape) must use the all-compute mode so every "
+        "attention site stores its delta before any step broadcasts it."
+    )
+
+
+def _pab_residual(mod: nn.Module, name: str, use_cached: bool, compute_fn):
+    """Attention residual delta under Pyramid Attention Broadcast.
+
+    ``use_cached`` is a *static* Python bool (one ``lax.switch`` branch per
+    step mode — see diffusion/pab.py): when True the cached delta from the
+    ``pab`` variable collection is reused and the attention computation is
+    absent from this branch's graph; when False the delta is computed and
+    stored.  Requires ``mutable=["pab"]`` on apply.
+    """
+    if use_cached:
+        return mod.variable("pab", name, _pab_cache_missing).value
+    delta = compute_fn()
+    cache = mod.variable("pab", name, lambda: delta)
+    cache.value = delta
+    return delta
 
 
 class GEGLU(nn.Module):
@@ -71,19 +97,35 @@ class BasicTextTransformerBlock3D(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-        """x: (b, f, h, w, c). context: (b, f, l, d) FSText embeddings."""
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        context: Optional[jnp.ndarray] = None,
+        pab: Optional[dict] = None,
+    ) -> jnp.ndarray:
+        """x: (b, f, h, w, c). context: (b, f, l, d) FSText embeddings.
+
+        ``pab``: static Pyramid-Attention-Broadcast flags for this step mode
+        (``{"spatial": bool, "cross": bool, ...}``); None = PAB off."""
         b, f, h, w, c = x.shape
         x = x.reshape(b * f, h * w, c)
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        x = CrossAttention(
+        attn1 = CrossAttention(
             query_dim=self.dim, heads=self.n_heads, dim_head=self.d_head,
             attention_slice=self.attention_slice, name="attn1", **kw
-        )(LayerNorm(param_dtype=self.param_dtype, name="norm1")(x)) + x
+        )
+        norm1 = LayerNorm(param_dtype=self.param_dtype, name="norm1")
+        if pab is None:
+            x = attn1(norm1(x)) + x
+        else:
+            x_self = x
+            x = _pab_residual(
+                self, "attn1_delta", pab[SPATIAL], lambda: attn1(norm1(x_self))
+            ) + x
         if context is not None:
             d = context.shape[-1]
             ctx = context.reshape(b * f, -1, d)
-            x = CrossAttention(
+            attn2 = CrossAttention(
                 query_dim=self.dim,
                 cross_attention_dim=self.context_dim,
                 heads=self.n_heads,
@@ -92,7 +134,16 @@ class BasicTextTransformerBlock3D(nn.Module):
                 attention_slice=self.attention_slice,
                 name="attn2",
                 **kw,
-            )(LayerNorm(param_dtype=self.param_dtype, name="norm2")(x), context=ctx) + x
+            )
+            norm2 = LayerNorm(param_dtype=self.param_dtype, name="norm2")
+            if pab is None:
+                x = attn2(norm2(x), context=ctx) + x
+            else:
+                x_cross = x
+                x = _pab_residual(
+                    self, "attn2_delta", pab[CROSS],
+                    lambda: attn2(norm2(x_cross), context=ctx),
+                ) + x
         x = FeedForward(self.dim, name="ff", **kw)(
             LayerNorm(param_dtype=self.param_dtype, name="norm3")(x)
         ) + x
@@ -123,21 +174,34 @@ class BasicTransformerBlock3D(nn.Module):
         self,
         x: jnp.ndarray,
         context: Optional[jnp.ndarray] = None,
+        pab: Optional[dict] = None,
     ) -> jnp.ndarray:
         b, f, h, w, c = x.shape
         cond_frame = self.cond_frame
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         if self.temporal:
             x = x.reshape(b, f * h * w, c)
-            x_norm = LayerNorm(param_dtype=self.param_dtype, name="norm1")(x)
-            x = WindowTemporalAttention(
+            norm1 = LayerNorm(param_dtype=self.param_dtype, name="norm1")
+            attn1 = WindowTemporalAttention(
                 query_dim=self.dim,
                 heads=self.n_heads,
                 dim_head=self.d_head,
                 causal=self.causal,
                 name="attn1",
                 **kw,
-            )(x_norm.reshape(b, f, h, w, c)).reshape(b, f * h * w, c) + x
+            )
+            x_tokens = x
+
+            def compute_delta():
+                x_norm = norm1(x_tokens)
+                return attn1(x_norm.reshape(b, f, h, w, c)).reshape(b, f * h * w, c)
+
+            if pab is None:
+                x = compute_delta() + x
+            else:
+                x = _pab_residual(
+                    self, "attn1_delta", pab[TEMPORAL], compute_delta
+                ) + x
             ff = FeedForward(self.dim, name="ff", **kw)
             norm3 = LayerNorm(param_dtype=self.param_dtype, name="norm3")
             if cond_frame > 0:
@@ -150,6 +214,11 @@ class BasicTransformerBlock3D(nn.Module):
             return x.reshape(b, f, h, w, c)
 
         # non-temporal variant (unused by the live SeerUNet config)
+        if pab is not None:
+            raise ValueError(
+                "PAB is implemented for the live SeerUNet block configuration "
+                "only (text_frame_condition / temporal blocks)"
+            )
         x = x.reshape(b * f, h * w, c)
         x = CrossAttention(
             query_dim=self.dim, heads=self.n_heads, dim_head=self.d_head, name="attn1", **kw
@@ -193,6 +262,7 @@ class SpatialTransformer3D(nn.Module):
         self,
         x: jnp.ndarray,
         context: Optional[jnp.ndarray] = None,
+        pab: Optional[dict] = None,
     ) -> jnp.ndarray:
         inner_dim = self.n_heads * self.d_head
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
@@ -208,14 +278,14 @@ class SpatialTransformer3D(nn.Module):
                     context_dim=self.context_dim, collect_attn=self.collect_attn,
                     attention_slice=self.attention_slice,
                     name=f"transformer_blocks_{d}", **kw,
-                )(x, context=context)
+                )(x, context=context, pab=pab)
             else:
                 x = BasicTransformerBlock3D(
                     inner_dim, self.n_heads, self.d_head,
                     context_dim=self.context_dim, temporal=self.temporal, causal=self.causal,
                     cond_frame=self.cond_frame,
                     name=f"transformer_blocks_{d}", **kw,
-                )(x, context=context)
+                )(x, context=context, pab=pab)
         # zero-initialized output projection: fresh temporal layers start as identity
         x = InflatedConv(
             self.in_channels, (1, 1), padding=0,

@@ -87,10 +87,18 @@ class SeerUNet(nn.Module):
         timesteps: jnp.ndarray,
         context: jnp.ndarray,
         cond_frame: int = 0,
+        pab: Optional[dict] = None,
     ) -> jnp.ndarray:
         """sample: (b, f, h, w, 4) latents; timesteps: (b,) or scalar;
-        context: (b, f, l, 768) FSText per-frame sub-instruction embeddings."""
+        context: (b, f, l, 768) FSText per-frame sub-instruction embeddings.
+
+        ``pab``: static Pyramid-Attention-Broadcast flags for this step mode
+        (diffusion/pab.py) — requires ``mutable=["pab"]`` on apply and is a
+        sampling-time feature (incompatible with remat: the flags must stay
+        Python-static through the block calls)."""
         cfg = self.config
+        if pab is not None and self.remat:
+            raise ValueError("PAB is a sampling-time feature; build the UNet with remat=False")
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         boc = tuple(cfg.block_out_channels)
         time_embed_dim = boc[0] * 4
@@ -155,7 +163,7 @@ class SeerUNet(nn.Module):
                     cond_frame=cond_frame, collect_attn=self.collect_attn,
                     attention_slice=cfg.attention_slice,
                     name=f"down_blocks_{i}", **kw,
-                )(sample, temb=emb, encoder_hidden_states=context)
+                )(sample, temb=emb, encoder_hidden_states=context, pab=pab)
                 sample = constrain(sample)
             else:
                 sample, res_samples = maybe_remat(DownBlock3D)(
@@ -177,7 +185,7 @@ class SeerUNet(nn.Module):
             text_frame_condition=True, causal=True, cond_frame=cond_frame,
             collect_attn=self.collect_attn, attention_slice=cfg.attention_slice,
             name="mid_block", **kw,
-)(sample, temb=emb, encoder_hidden_states=context)
+)(sample, temb=emb, encoder_hidden_states=context, pab=pab)
         sample = constrain(sample)
 
         # --- up ---
@@ -212,7 +220,7 @@ class SeerUNet(nn.Module):
                     cond_frame=cond_frame, collect_attn=self.collect_attn,
                     attention_slice=cfg.attention_slice,
                     name=f"up_blocks_{i}", **kw,
-                )(sample, res_samples, temb=emb, encoder_hidden_states=context)
+                )(sample, res_samples, temb=emb, encoder_hidden_states=context, pab=pab)
                 sample = constrain(sample)
 
         # --- out (fp32 GroupNorm island, unet_3d_condition.py:365-370) ---

@@ -42,7 +42,7 @@ class CrossAttnDownBlock3D(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, hidden_states, temb=None, encoder_hidden_states=None):
+    def __call__(self, hidden_states, temb=None, encoder_hidden_states=None, pab=None):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         output_states = ()
         heads = self.attn_num_head_channels
@@ -61,13 +61,13 @@ class CrossAttnDownBlock3D(nn.Module):
                 collect_attn=self.collect_attn,
                 attention_slice=self.attention_slice,
                 name=f"attentions_{i}", **kw,
-            )(hidden_states, context=encoder_hidden_states)
+            )(hidden_states, context=encoder_hidden_states, pab=pab)
             hidden_states = SpatialTransformer3D(
                 self.out_channels, heads, self.out_channels // heads, depth=1,
                 temporal=True, causal=self.causal, cond_frame=self.cond_frame,
                 norm_num_groups=self.resnet_groups,
                 name=f"temporal_attentions_{i}", **kw,
-            )(hidden_states)
+            )(hidden_states, pab=pab)
             output_states += (hidden_states,)
         if self.add_downsample:
             hidden_states = Downsample3D(
@@ -128,7 +128,7 @@ class UNetMidBlock3DCrossAttn(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, hidden_states, temb=None, encoder_hidden_states=None):
+    def __call__(self, hidden_states, temb=None, encoder_hidden_states=None, pab=None):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         heads = self.attn_num_head_channels
         resnet_kw = dict(
@@ -146,13 +146,13 @@ class UNetMidBlock3DCrossAttn(nn.Module):
                 collect_attn=self.collect_attn,
                 attention_slice=self.attention_slice,
                 name=f"attentions_{i}", **kw,
-            )(hidden_states, context=encoder_hidden_states)
+            )(hidden_states, context=encoder_hidden_states, pab=pab)
             hidden_states = SpatialTransformer3D(
                 self.in_channels, heads, self.in_channels // heads, depth=1,
                 temporal=True, causal=self.causal, cond_frame=self.cond_frame,
                 norm_num_groups=self.resnet_groups,
                 name=f"temporal_attentions_{i}", **kw,
-            )(hidden_states)
+            )(hidden_states, pab=pab)
             hidden_states = ResnetBlock3D(name=f"resnets_{i + 1}", **resnet_kw)(
                 hidden_states, temb
             )
@@ -181,7 +181,7 @@ class CrossAttnUpBlock3D(nn.Module):
     @nn.compact
     def __call__(
         self, hidden_states, res_hidden_states_tuple, temb=None,
-        encoder_hidden_states=None,
+        encoder_hidden_states=None, pab=None,
     ):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         heads = self.attn_num_head_channels
@@ -206,13 +206,13 @@ class CrossAttnUpBlock3D(nn.Module):
                 collect_attn=self.collect_attn,
                 attention_slice=self.attention_slice,
                 name=f"attentions_{i}", **kw,
-            )(hidden_states, context=encoder_hidden_states)
+            )(hidden_states, context=encoder_hidden_states, pab=pab)
             hidden_states = SpatialTransformer3D(
                 self.out_channels, heads, self.out_channels // heads, depth=1,
                 temporal=True, causal=self.causal, cond_frame=self.cond_frame,
                 norm_num_groups=self.resnet_groups,
                 name=f"temporal_attentions_{i}", **kw,
-            )(hidden_states)
+            )(hidden_states, pab=pab)
         if self.add_upsample:
             hidden_states = Upsample3D(
                 self.out_channels, out_channels=self.out_channels, name="upsamplers_0", **kw

@@ -171,7 +171,8 @@ class SeerPipeline:
     @functools.lru_cache(maxsize=8)
     def _sample_fn(self, ddim_steps: int, guidance_scale: float, cond_frame: int,
                    use_cfg: bool, sampler: str = "ddim",
-                   guidance_interval=None, prediction_type: str = "epsilon"):
+                   guidance_interval=None, prediction_type: str = "epsilon",
+                   pab_config=None):
         tables = self.schedule.ddim_tables(ddim_steps, eta=0.0)
         if sampler in ("dpm++", "dpmpp"):
             from ..diffusion.dpm_solver import dpm_solver_sample_loop
@@ -181,9 +182,29 @@ class SeerPipeline:
         else:
             raise ValueError(f"unknown sampler {sampler!r} (ddim or dpm++)")
 
+        pab_schedule = None
+        if pab_config is not None and pab_config.enabled:
+            from ..diffusion.pab import build_pab_schedule
+
+            # the reference's +1-offset uniform grid can yield MORE sampler
+            # steps than ddim_steps (e.g. 30 -> 31: range(0,1000,33)); the
+            # schedule must cover the actual table length
+            pab_schedule = build_pab_schedule(len(tables.timesteps), pab_config)
+
         def fn(unet_params, x_T, x0_emb, context, uncond_context):
             def unet_apply(x, t, ctx, cf):
                 return self.m.unet.apply({"params": unet_params}, x, t, ctx, cf)
+
+            pab = None
+            if pab_schedule is not None:
+                def pab_apply(x, t, ctx, cf, pab_state, flags):
+                    out, mut = self.m.unet.apply(
+                        {"params": unet_params, "pab": pab_state},
+                        x, t, ctx, cf, pab=flags, mutable=["pab"],
+                    )
+                    return out, mut["pab"]
+
+                pab = (*pab_schedule, pab_apply)
 
             return loop(
                 unet_apply, x_T, tables, context,
@@ -193,6 +214,7 @@ class SeerPipeline:
                 cond_frame=cond_frame,
                 guidance_interval=guidance_interval if use_cfg else None,
                 prediction_type=prediction_type,
+                **({"pab": pab} if pab is not None else {}),
             )
 
         return jax.jit(fn, donate_argnums=(1,) if self.donate_latents else ())
@@ -209,6 +231,7 @@ class SeerPipeline:
         sampler: str = "ddim",
         guidance_interval=None,
         prediction_type: str = "epsilon",
+        pab_config=None,
     ) -> jnp.ndarray:
         """Sample future-frame latents (DDIM by default; ``sampler="dpm++"``
         uses DPM-Solver++ 2M on the same step grid).
@@ -219,6 +242,9 @@ class SeerPipeline:
         ``scale == 1.0`` disables CFG (reference ddim_sampling_utils.py:23-24).
         ``guidance_interval=(lo, hi)`` restricts CFG to timesteps in the
         window (beyond reference): steps outside run a single-batch UNet call.
+        ``pab_config`` (a ``diffusion.pab.PABConfig``, beyond reference)
+        enables Pyramid Attention Broadcast: attention deltas are computed
+        every N steps and reused in between (N per attention type).
         """
         use_cfg = uncond_context is not None and guidance_scale != 1.0
         # normalize the alias before the lru_cache key — "dpmpp" and "dpm++"
@@ -228,7 +254,7 @@ class SeerPipeline:
             guidance_interval = tuple(float(v) for v in guidance_interval)
         fn = self._sample_fn(ddim_steps, float(guidance_scale), int(cond_frame),
                              use_cfg, sampler, guidance_interval,
-                             prediction_type)
+                             prediction_type, pab_config)
         if not use_cfg:
             uncond_context = context  # placeholder, unused
         return fn(self.m.unet_params, x_T, x0_emb, context, uncond_context)
@@ -248,6 +274,7 @@ class SeerPipeline:
         sampler: str = "ddim",
         guidance_interval=None,
         prediction_type: str = "epsilon",
+        pab_config=None,
     ) -> jnp.ndarray:
         """Full path: cond frames (b, f1, h, w, 3) in [-1,1] + tokenized prompt
         -> decoded future frames (b, f2, h, w, 3) in [0,1]."""
@@ -283,5 +310,6 @@ class SeerPipeline:
             cond_frame=cond_frame, sampler=sampler,
             guidance_interval=guidance_interval,
             prediction_type=prediction_type,
+            pab_config=pab_config,
         )
         return self.vae_decode_video(latents)

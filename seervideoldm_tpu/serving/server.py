@@ -45,7 +45,7 @@ class GenerationService:
                  num_frames: int, ddim_steps: int, guidance_scale: float,
                  sampler: str = "ddim", max_batch: int = 4,
                  max_wait_ms: float = 100.0, seed: int = 0,
-                 guidance_interval=None):
+                 guidance_interval=None, pab_config=None):
         self.pipe = pipe
         self.tokenizer = tokenizer
         self.resolution = resolution
@@ -55,6 +55,7 @@ class GenerationService:
         self.guidance_scale = guidance_scale
         self.sampler = sampler
         self.guidance_interval = guidance_interval
+        self.pab_config = pab_config
         self.max_batch = max_batch
         self._rng = jax.random.PRNGKey(seed)
         self._counter = 0
@@ -130,6 +131,7 @@ class GenerationService:
             num_frames=self.num_frames, rng=rng,
             ddim_steps=self.ddim_steps, guidance_scale=self.guidance_scale,
             sampler=self.sampler, guidance_interval=self.guidance_interval,
+            pab_config=self.pab_config,
         )
         videos = np.asarray(videos)  # (B, f2, h, w, 3) in [0, 1]
         cond01 = (cond + 1.0) / 2.0

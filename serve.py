@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import jax
 
-from seervideoldm_tpu.config import parse_args
+from seervideoldm_tpu.config import pab_config_from, parse_args
 from seervideoldm_tpu.parallel.mesh import create_mesh
 from seervideoldm_tpu.pipelines.loading import (
     load_finetuned,
@@ -54,6 +54,7 @@ def main() -> None:
         sampler=cfg.sampler, max_batch=int(cfg.serve_max_batch),
         max_wait_ms=float(cfg.serve_max_wait_ms), seed=cfg.seed,
         guidance_interval=cfg.guidance_interval,
+        pab_config=pab_config_from(cfg),
     )
     print("warmup: compiling the padded-batch executable ...", flush=True)
     service.warmup()
