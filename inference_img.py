@@ -56,12 +56,9 @@ def main() -> None:
     cond = jnp.asarray(frame)[None, None].repeat(cfg.cond_frames, axis=1)
 
     prompt = cfg.input_text_prompts or ""
-    tok = tokenizer([prompt])
     tok_uc = tokenizer([""])
 
-    samples = pipe.generate(
-        cond, tok["input_ids"], tok["attention_mask"],
-        tok_uc["input_ids"], tok_uc["attention_mask"],
+    sample_kw = dict(
         num_frames=cfg.num_frames, rng=k_sample,
         ddim_steps=cfg.ddim_steps, guidance_scale=cfg.scale,
         sampler=cfg.sampler,
@@ -69,6 +66,20 @@ def main() -> None:
         prediction_type=cfg.prediction_type,
         pab_config=pab_config_from(cfg),
     )
+    if cfg.total_frames:
+        # autoregressive rollout (beyond reference): "|"-separated prompt
+        # segments are chained per-chunk instructions
+        prompts_tok = [tokenizer([p.strip()]) for p in prompt.split("|")]
+        samples = pipe.generate_rollout(
+            cond, prompts_tok, tok_uc["input_ids"], tok_uc["attention_mask"],
+            total_frames=int(cfg.total_frames), **sample_kw,
+        )
+    else:
+        tok = tokenizer([prompt])
+        samples = pipe.generate(
+            cond, tok["input_ids"], tok["attention_mask"],
+            tok_uc["input_ids"], tok_uc["attention_mask"], **sample_kw,
+        )
     cond01 = np.asarray((cond + 1.0) / 2.0)
     os.makedirs(cfg.output_dir, exist_ok=True)
     save_visualization_onegif(np.asarray(samples), cond01, cfg.output_dir, 0)

@@ -93,6 +93,12 @@ class Config:
     pab_cross_range: int = 6
     pab_temporal_range: int = 4
     pab_window: list = field(default_factory=lambda: [0.1, 0.9])
+    # beyond reference: autoregressive long-video rollout — total FUTURE
+    # frames to generate by rolling the num_frames window forward, feeding
+    # the last cond_frames generated latents back as conditioning.
+    # null = single window (parity). inference_img only; the prompt may be
+    # "|"-separated per-chunk chained instructions.
+    total_frames: Optional[int] = None
     num_samples: int = 1
     sample_iter: int = 1
     n_rows: int = 2

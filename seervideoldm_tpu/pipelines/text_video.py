@@ -313,3 +313,111 @@ class SeerPipeline:
             pab_config=pab_config,
         )
         return self.vae_decode_video(latents)
+
+    def generate_rollout(
+        self,
+        cond_video: jnp.ndarray,
+        prompts_tok: list,
+        uncond_ids: np.ndarray,
+        uncond_mask: np.ndarray,
+        num_frames: int,
+        total_frames: int,
+        rng: jax.Array,
+        ddim_steps: int = 30,
+        guidance_scale: float = 7.5,
+        cond_frame: int = 0,
+        sampler: str = "ddim",
+        guidance_interval=None,
+        prediction_type: str = "epsilon",
+        pab_config=None,
+    ) -> jnp.ndarray:
+        """Autoregressive long-video rollout (beyond reference).
+
+        The reference generates a fixed window of ``num_frames - f1`` future
+        frames (``inference_img.py:164-177`` ref).  This rolls the window
+        forward: after each chunk, the last ``f1`` *generated latents*
+        become the next chunk's conditioning latents (no decode/encode
+        round trip — conditioning stays in latent space, so there is no
+        VAE drift between chunks), until ``total_frames`` future frames
+        exist.  Every chunk reuses the one jit-cached sampler executable
+        (identical shapes), so rollout length is compile-free.
+
+        ``prompts_tok``: list of tokenizer outputs (dicts with
+        ``input_ids``/``attention_mask``), either one entry (same
+        instruction every chunk) or one per chunk — chained sub-task
+        instructions, matching the instructional-video domain.
+
+        The first chunk is bitwise-identical to :meth:`generate` with the
+        same ``rng`` (same ``k_enc``/``k_noise`` split); chunk ``c > 0``
+        draws its noise from ``fold_in(k_noise, c)``.
+
+        Returns decoded future frames ``(b, total_frames, h, w, 3)`` in
+        [0, 1] (conditioning frames not included, like :meth:`generate`).
+        """
+        b, f1, h, w, _ = cond_video.shape
+        f2 = num_frames - f1
+        if f2 < 1:
+            raise ValueError(f"num_frames={num_frames} leaves no future frames "
+                             f"beyond the {f1} conditioning frames")
+        if total_frames < 1:
+            raise ValueError(f"total_frames must be >= 1, got {total_frames}")
+        n_chunks = -(-total_frames // f2)  # ceil
+        if len(prompts_tok) == 1:
+            prompts_tok = list(prompts_tok) * n_chunks
+        if len(prompts_tok) != n_chunks:
+            raise ValueError(
+                f"rollout needs 1 or {n_chunks} prompts (one per "
+                f"{f2}-frame chunk covering total_frames={total_frames}), "
+                f"got {len(prompts_tok)}"
+            )
+
+        cond_video = self._shard(cond_video)
+        k_enc, k_noise = jax.random.split(rng)
+
+        uncond_emb = self.encode_text(uncond_ids, uncond_mask)
+        # cache per unique prompt: chained instructions often repeat
+        ctx_cache: dict = {}
+
+        def context_for(tok):
+            key = (tok["input_ids"].tobytes(), tok["attention_mask"].tobytes())
+            if key not in ctx_cache:
+                clip_emb = self.encode_text(tok["input_ids"], tok["attention_mask"])
+                ctx_cache[key] = self.fstext(clip_emb)
+            return ctx_cache[key]
+
+        x0_emb = self.vae_encode_video(cond_video, k_enc)
+        scale = 2 ** (len(self.m.vae.config.block_out_channels) - 1)
+        lat_shape = (b, f2, h // scale, w // scale,
+                     self.m.vae.config.latent_channels)
+
+        chunks = []
+        for c in range(n_chunks):
+            context = context_for(prompts_tok[c])
+            if context.shape[1] != num_frames:
+                raise ValueError(
+                    f"FSText was built for {context.shape[1]} frames but "
+                    f"num_frames={num_frames}"
+                )
+            uncond_context = jnp.broadcast_to(
+                uncond_emb[:, None], (b, context.shape[1], *uncond_emb.shape[1:])
+            )
+            k_c = k_noise if c == 0 else jax.random.fold_in(k_noise, c)
+            x_T = jax.random.normal(k_c, lat_shape, dtype=x0_emb.dtype)
+            latents = self.sample_latents(
+                x_T, x0_emb, context, uncond_context,
+                ddim_steps=ddim_steps, guidance_scale=guidance_scale,
+                cond_frame=cond_frame, sampler=sampler,
+                guidance_interval=guidance_interval,
+                prediction_type=prediction_type,
+                pab_config=pab_config,
+            )
+            chunks.append(latents)
+            if c + 1 < n_chunks:
+                if f2 >= f1:
+                    x0_emb = latents[:, -f1:]
+                else:
+                    # short chunks: conditioning spans the previous window
+                    x0_emb = jnp.concatenate([x0_emb, latents], axis=1)[:, -f1:]
+
+        all_latents = jnp.concatenate(chunks, axis=1)[:, :total_frames]
+        return self.vae_decode_video(all_latents)
