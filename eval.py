@@ -13,7 +13,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from seervideoldm_tpu.config import pab_config_from, parse_args
+from seervideoldm_tpu.config import (
+    parse_args,
+    sampler_schedule_from,
+    sampling_kwargs_from,
+)
 from seervideoldm_tpu.data import DataLoader, build_dataset
 from seervideoldm_tpu.parallel.distributed import (
     gather_across_hosts,
@@ -48,6 +52,7 @@ def main() -> None:
     if ckpt_dir:
         models = load_finetuned(models, ckpt_dir)
     pipe = SeerPipeline(models, mesh=mesh,
+                        schedule=sampler_schedule_from(cfg),
                         donate_latents=bool(cfg.donate_latents))
 
     fvd_eval = None
@@ -114,10 +119,7 @@ def main() -> None:
             tok_uc["input_ids"], tok_uc["attention_mask"],
             num_frames=cfg.num_frames, rng=jax.random.fold_in(k_eval, i),
             ddim_steps=cfg.ddim_steps, guidance_scale=cfg.scale,
-            sampler=cfg.sampler,
-            guidance_interval=cfg.guidance_interval,
-            prediction_type=cfg.prediction_type,
-            pab_config=pab_config_from(cfg),
+            **sampling_kwargs_from(cfg),
         )
         # prepend cond frames to prediction (eval.py:225)
         pred = np.concatenate(

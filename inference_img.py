@@ -15,7 +15,11 @@ import jax.numpy as jnp
 import numpy as np
 from PIL import Image
 
-from seervideoldm_tpu.config import pab_config_from, parse_args
+from seervideoldm_tpu.config import (
+    parse_args,
+    sampler_schedule_from,
+    sampling_kwargs_from,
+)
 from seervideoldm_tpu.data.transforms import image_to_model_input
 from seervideoldm_tpu.parallel.mesh import create_mesh
 from seervideoldm_tpu.pipelines.loading import (
@@ -49,6 +53,7 @@ def main() -> None:
     if ckpt_dir:
         models = load_finetuned(models, ckpt_dir)
     pipe = SeerPipeline(models, mesh=mesh,
+                        schedule=sampler_schedule_from(cfg),
                         donate_latents=bool(cfg.donate_latents))
 
     with Image.open(cfg.image_path) as img:
@@ -61,10 +66,7 @@ def main() -> None:
     sample_kw = dict(
         num_frames=cfg.num_frames, rng=k_sample,
         ddim_steps=cfg.ddim_steps, guidance_scale=cfg.scale,
-        sampler=cfg.sampler,
-        guidance_interval=cfg.guidance_interval,
-        prediction_type=cfg.prediction_type,
-        pab_config=pab_config_from(cfg),
+        **sampling_kwargs_from(cfg),
     )
     if cfg.total_frames:
         # autoregressive rollout (beyond reference): "|"-separated prompt

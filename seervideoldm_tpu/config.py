@@ -99,6 +99,16 @@ class Config:
     # null = single window (parity). inference_img only; the prompt may be
     # "|"-separated per-chunk chained instructions.
     total_frames: Optional[int] = None
+    # --- zero-terminal-SNR recipe (beyond reference; Lin et al. 2024
+    # "Common Diffusion Noise Schedules and Sampler Steps are Flawed") ---
+    # rescale ALL schedules (train + sampler) so terminal SNR is exactly 0;
+    # requires prediction_type: v_prediction (epsilon is undefined at SNR 0)
+    rescale_zero_snr: bool = False
+    # "uniform" = reference +1-offset grid (parity); "trailing" anchors the
+    # sampler grid at t=T-1 (needed for zero-SNR to sample from pure noise)
+    timestep_spacing: str = "uniform"
+    # CFG std-rescale blend in [0,1]; 0 = plain CFG (parity), typical 0.7
+    guidance_rescale: float = 0.0
     num_samples: int = 1
     sample_iter: int = 1
     n_rows: int = 2
@@ -165,6 +175,30 @@ def pab_config_from(cfg: "Config"):
     )
 
 
+def sampler_schedule_from(cfg: "Config"):
+    """The sampler-side ``DiffusionSchedule`` for this config: the reference
+    defaults (``ddim_video.py:27-29``), zero-SNR-rescaled when
+    ``rescale_zero_snr: true``."""
+    from .diffusion.schedules import DiffusionSchedule
+
+    return DiffusionSchedule.create(
+        1000, rescale_zero_snr=bool(cfg.rescale_zero_snr)
+    )
+
+
+def sampling_kwargs_from(cfg: "Config") -> dict:
+    """The per-call sampling knobs shared by every entry point (sampler
+    choice + the beyond-reference guidance/schedule options)."""
+    return dict(
+        sampler=cfg.sampler,
+        guidance_interval=cfg.guidance_interval,
+        prediction_type=cfg.prediction_type,
+        pab_config=pab_config_from(cfg),
+        timestep_spacing=cfg.timestep_spacing,
+        guidance_rescale=float(cfg.guidance_rescale),
+    )
+
+
 def _coerce(value: str) -> Any:
     """Parse a CLI override value with YAML semantics (``1`` -> int, etc.)."""
     return yaml.safe_load(value)
@@ -191,6 +225,20 @@ def validate(cfg: Config) -> Config:
         raise ValueError(
             f"prediction_type must be 'epsilon' or 'v_prediction', "
             f"got {cfg.prediction_type!r}"
+        )
+    if cfg.timestep_spacing not in ("uniform", "trailing"):
+        raise ValueError(
+            f"timestep_spacing must be 'uniform' (reference parity) or "
+            f"'trailing', got {cfg.timestep_spacing!r}"
+        )
+    if cfg.rescale_zero_snr and cfg.prediction_type != "v_prediction":
+        raise ValueError(
+            "rescale_zero_snr requires prediction_type: v_prediction — "
+            "epsilon prediction is undefined at the zero-SNR terminal step"
+        )
+    if not 0.0 <= float(cfg.guidance_rescale) <= 1.0:
+        raise ValueError(
+            f"guidance_rescale must be in [0, 1], got {cfg.guidance_rescale!r}"
         )
     gi = cfg.get("guidance_interval")
     if gi is not None and (

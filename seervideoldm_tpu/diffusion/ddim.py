@@ -36,6 +36,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .pab import COMPUTE_ALL, mode_to_flags
 from .schedules import DDIMTables
@@ -62,6 +63,7 @@ def make_eps_fn(
     cond_frame: int,
     guidance_interval: Optional[tuple[float, float]] = None,
     pab: Optional[tuple] = None,
+    guidance_rescale: float = 0.0,
 ) -> Callable[..., jnp.ndarray]:
     """Build ``eps(img, t) -> e_t`` with the reference's conditioning
     mechanics (``ddim_video.py:185-211``), shared by every sampler:
@@ -84,6 +86,25 @@ def make_eps_fn(
     """
     b = context.shape[0]
     use_cfg = uncond_context is not None and guidance_scale != 1.0
+
+    def combine_cfg(e_uncond, e_cond):
+        """CFG combine, optionally with guidance rescale (beyond reference;
+        Lin et al. 2024 §3.4 / diffusers ``rescale_noise_cfg``): renormalize
+        the guided output's per-sample std back to the cond branch's std,
+        blended by ``guidance_rescale``∈[0,1].  Counters the overexposure
+        that high CFG scales cause (essential with zero-terminal-SNR
+        schedules).  0.0 = plain CFG (parity), typical 0.7."""
+        e_t = e_uncond + guidance_scale * (e_cond - e_uncond)
+        if guidance_rescale == 0.0:
+            return e_t
+        e_t32, e_cond32 = e_t.astype(jnp.float32), e_cond.astype(jnp.float32)
+        axes = tuple(range(1, e_t.ndim))
+        std_pos = jnp.std(e_cond32, axis=axes, keepdims=True)
+        std_cfg = jnp.std(e_t32, axis=axes, keepdims=True)
+        rescaled = e_t32 * (std_pos / jnp.maximum(std_cfg, 1e-12))
+        out = guidance_rescale * rescaled + (1.0 - guidance_rescale) * e_t32
+        return out.astype(e_t.dtype)
+
     cond_f = 0 if x0_emb is None else x0_emb.shape[1]
     unequal_cfg = use_cfg and uncond_context.shape[1:] != context.shape[1:]
     if use_cfg and not unequal_cfg:
@@ -131,7 +152,7 @@ def make_eps_fn(
             e_all = e_all[:, cond_f:]
             if use_cfg:
                 e_uncond, e_cond = jnp.split(e_all, 2, axis=0)
-                e_t = e_uncond + guidance_scale * (e_cond - e_uncond)
+                e_t = combine_cfg(e_uncond, e_cond)
             else:
                 e_t = e_all
             return e_t.astype(jnp.float32), new_state
@@ -150,7 +171,7 @@ def make_eps_fn(
             t_in = jnp.concatenate([ts, ts], axis=0)
             e_all = unet_apply(x_in, t_in, ctx_in, cond_frame)[:, cond_f:]
             e_uncond, e_cond = jnp.split(e_all, 2, axis=0)
-        return e_uncond + guidance_scale * (e_cond - e_uncond)
+        return combine_cfg(e_uncond, e_cond)
 
     def eps(img: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
         x_cat = img if x0_emb is None else jnp.concatenate([x0_emb, img], axis=1)
@@ -218,6 +239,7 @@ def ddim_sample_loop(
     guidance_interval: Optional[tuple[float, float]] = None,
     prediction_type: str = "epsilon",
     pab: Optional[tuple] = None,
+    guidance_rescale: float = 0.0,
 ) -> jnp.ndarray:
     """Run the full DDIM reverse process; returns final latents (b,f,h,w,c).
 
@@ -237,6 +259,12 @@ def ddim_sample_loop(
     """
     if prediction_type not in ("epsilon", "v_prediction"):
         raise ValueError(f"unknown prediction type {prediction_type!r}")
+    if prediction_type == "epsilon" and float(np.min(tables.alphas)) == 0.0:
+        raise ValueError(
+            "epsilon prediction is undefined at SNR 0 (pred_x0 divides by "
+            "sqrt(alpha)=0); a zero-terminal-SNR schedule requires "
+            "prediction_type='v_prediction'"
+        )
     timesteps = jnp.asarray(tables.timesteps)
     alphas = jnp.asarray(tables.alphas)
     alphas_prev = jnp.asarray(tables.alphas_prev)
@@ -249,9 +277,15 @@ def ddim_sample_loop(
         if prediction_type == "v_prediction":
             # CFG composes identically in v- and eps-space (the map is
             # affine in the model output with an x_t term common to both
-            # branches), so converting after eps_fn is exact
-            e_t = jnp.sqrt(a_t) * e_t + sqrt_1m_at * img32
-        pred_x0 = (img32 - sqrt_1m_at * e_t) / jnp.sqrt(a_t)
+            # branches), so converting after eps_fn is exact.  pred_x0 is
+            # computed in the DIRECT v form sqrt(a)·x − sqrt(1−a)·v (equal to
+            # (x − sqrt(1−a)·eps)/sqrt(a) algebraically, but finite at the
+            # a_t = 0 terminal step of a zero-SNR-rescaled schedule).
+            v_t = e_t
+            e_t = jnp.sqrt(a_t) * v_t + sqrt_1m_at * img32
+            pred_x0 = jnp.sqrt(a_t) * img32 - sqrt_1m_at * v_t
+        else:
+            pred_x0 = (img32 - sqrt_1m_at * e_t) / jnp.sqrt(a_t)
         dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma_t**2, 0.0)) * e_t
         x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt
         if eta_noise_key is not None:
@@ -270,7 +304,8 @@ def ddim_sample_loop(
             )
         eps_fn = make_eps_fn(unet_apply, context, x0_emb, uncond_context,
                              guidance_scale, cond_frame, guidance_interval,
-                             pab=(modes, pab_apply))
+                             pab=(modes, pab_apply),
+                             guidance_rescale=guidance_rescale)
         pab_state0 = make_pab_init_state(
             pab_apply, x_T, context, x0_emb, uncond_context, guidance_scale,
             cond_frame,
@@ -292,7 +327,8 @@ def ddim_sample_loop(
         return final
 
     eps_fn = make_eps_fn(unet_apply, context, x0_emb, uncond_context,
-                         guidance_scale, cond_frame, guidance_interval)
+                         guidance_scale, cond_frame, guidance_interval,
+                         guidance_rescale=guidance_rescale)
 
     def step(img, per_step):
         t, a_t, a_prev, sigma_t, sqrt_1m_at, step_idx = per_step

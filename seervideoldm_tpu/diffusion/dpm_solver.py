@@ -31,6 +31,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .ddim import UNetApply, make_eps_fn, make_pab_init_state
 from .schedules import DDIMTables
@@ -50,6 +51,7 @@ def dpm_solver_sample_loop(
     guidance_interval: Optional[tuple[float, float]] = None,
     prediction_type: str = "epsilon",
     pab: Optional[tuple] = None,
+    guidance_rescale: float = 0.0,
 ) -> jnp.ndarray:
     """Run DPM-Solver++ over the same reverse-ordered ``tables`` grid the
     DDIM sampler uses (index 0 = highest timestep); returns final latents
@@ -66,6 +68,12 @@ def dpm_solver_sample_loop(
         raise ValueError(f"order must be 1 or 2, got {order}")
     if prediction_type not in ("epsilon", "v_prediction"):
         raise ValueError(f"unknown prediction type {prediction_type!r}")
+    if prediction_type == "epsilon" and float(np.min(tables.alphas)) == 0.0:
+        raise ValueError(
+            "epsilon prediction is undefined at SNR 0 (x0 divides by "
+            "sqrt(alpha)=0); a zero-terminal-SNR schedule requires "
+            "prediction_type='v_prediction'"
+        )
 
     timesteps = jnp.asarray(tables.timesteps)
     alphas = jnp.asarray(tables.alphas)
@@ -81,9 +89,12 @@ def dpm_solver_sample_loop(
         alpha_t, sigma_t = jnp.sqrt(a_t), jnp.sqrt(1.0 - a_t)
         alpha_s, sigma_s = jnp.sqrt(a_prev), jnp.sqrt(1.0 - a_prev)
         if prediction_type == "v_prediction":
-            # v -> eps (see ddim.py); data-prediction x0 below then follows
-            e_t = alpha_t * e_t + sigma_t * img32
-        x0 = (img32 - sigma_t * e_t) / alpha_t
+            # direct data-prediction form alpha·x − sigma·v — algebraically
+            # the v→eps→x0 chain, but finite at the alpha_t = 0 terminal
+            # step of a zero-SNR-rescaled schedule (see ddim.py)
+            x0 = alpha_t * img32 - sigma_t * e_t
+        else:
+            x0 = (img32 - sigma_t * e_t) / alpha_t
         h = lam(a_prev) - lam(a_t)  # > 0 (noise decreases)
 
         if order == 2:
@@ -117,7 +128,8 @@ def dpm_solver_sample_loop(
             )
         eps_fn = make_eps_fn(unet_apply, context, x0_emb, uncond_context,
                              guidance_scale, cond_frame, guidance_interval,
-                             pab=(modes, pab_apply))
+                             pab=(modes, pab_apply),
+                             guidance_rescale=guidance_rescale)
         pab_state0 = make_pab_init_state(
             pab_apply, x_T, context, x0_emb, uncond_context, guidance_scale,
             cond_frame,
@@ -138,7 +150,8 @@ def dpm_solver_sample_loop(
         return final
 
     eps_fn = make_eps_fn(unet_apply, context, x0_emb, uncond_context,
-                         guidance_scale, cond_frame, guidance_interval)
+                         guidance_scale, cond_frame, guidance_interval,
+                         guidance_rescale=guidance_rescale)
 
     def step(carry, per_step):
         img, x0_prev, h_prev = carry

@@ -60,7 +60,18 @@ def make_beta_schedule(
 def make_ddim_timesteps(
     ddim_discr_method: str, num_ddim_timesteps: int, num_ddpm_timesteps: int
 ) -> np.ndarray:
-    """DDIM timestep subsequence **with the reference's +1 offset** (``util.py:57``)."""
+    """DDIM timestep subsequence **with the reference's +1 offset** (``util.py:57``).
+
+    ``"trailing"`` (beyond reference; Lin et al. 2024 "Common Diffusion Noise
+    Schedules and Sampler Steps are Flawed" §2.2 / diffusers
+    ``timestep_spacing="trailing"``) anchors the grid at the FINAL timestep
+    ``T-1`` instead of near 0: the reference's uniform(+1) grid for S=50
+    starts sampling at t=981, i.e. the model never sees the pure-noise
+    distribution it was trained toward — trailing fixes that (required for
+    the zero-terminal-SNR recipe to actually start from SNR 0).  Returned
+    ascending like the other methods; no +1 offset (the grid is already
+    1-anchored at the low end: last entry is ``T/S - 1`` → ... → ``T-1``).
+    """
     if ddim_discr_method == "uniform":
         c = num_ddpm_timesteps // num_ddim_timesteps
         ddim_timesteps = np.asarray(list(range(0, num_ddpm_timesteps, c)))
@@ -68,6 +79,10 @@ def make_ddim_timesteps(
         ddim_timesteps = (
             np.linspace(0, np.sqrt(num_ddpm_timesteps * 0.8), num_ddim_timesteps) ** 2
         ).astype(int)
+    elif ddim_discr_method == "trailing":
+        step = num_ddpm_timesteps / num_ddim_timesteps
+        ts = np.round(np.arange(num_ddpm_timesteps, 0, -step)).astype(np.int64) - 1
+        return ts[::-1].copy()  # ascending, ends exactly at T-1
     else:
         raise NotImplementedError(f"unknown ddim discretization: {ddim_discr_method}")
     return ddim_timesteps + 1
@@ -81,6 +96,22 @@ def make_ddim_sampling_parameters(
     alphas_prev = np.asarray([alphacums[0]] + alphacums[ddim_timesteps[:-1]].tolist())
     sigmas = eta * np.sqrt((1 - alphas_prev) / (1 - alphas) * (1 - alphas / alphas_prev))
     return sigmas, alphas, alphas_prev
+
+
+def rescale_zero_terminal_snr(alphas_cumprod: np.ndarray) -> np.ndarray:
+    """Rescale a ᾱ table so the terminal SNR is exactly zero.
+
+    Lin et al. 2024 Algorithm 1 (operates in √ᾱ space: shift so the last
+    entry is 0, scale so the first is unchanged).  With ᾱ_T = 0 the model is
+    actually trained on / sampled from pure noise at t = T-1, fixing the
+    leaked-mean brightness bias of the SD-1.5 schedule (its terminal SNR is
+    ~0.0047, never zero).  Requires v-prediction: the ε parameterization is
+    undefined at SNR 0 (ε ≡ x_t there carries no signal information).
+    """
+    sqrt_acp = np.sqrt(alphas_cumprod.astype(np.float64))
+    first, last = sqrt_acp[0], sqrt_acp[-1]
+    sqrt_acp = (sqrt_acp - last) * first / (first - last)
+    return sqrt_acp**2
 
 
 @dataclass(frozen=True)
@@ -120,6 +151,7 @@ class DiffusionSchedule:
         linear_end: float = DEFAULT_LINEAR_END,
         cosine_s: float = 8e-3,
         betas: np.ndarray | None = None,
+        rescale_zero_snr: bool = False,
     ) -> "DiffusionSchedule":
         if betas is None:
             betas = make_beta_schedule(
@@ -127,6 +159,12 @@ class DiffusionSchedule:
                 linear_end=linear_end, cosine_s=cosine_s,
             )
         alphas_cumprod = np.cumprod(1.0 - betas, axis=0)
+        if rescale_zero_snr:
+            alphas_cumprod = rescale_zero_terminal_snr(alphas_cumprod)
+            # back-derive betas so betas/ᾱ stay consistent (terminal β = 1)
+            prev = np.append(1.0, alphas_cumprod[:-1])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                betas = 1.0 - np.where(prev > 0, alphas_cumprod / prev, 0.0)
         alphas_cumprod_prev = np.append(1.0, alphas_cumprod[:-1])
         return DiffusionSchedule(
             betas=betas.astype(np.float32),
@@ -135,12 +173,19 @@ class DiffusionSchedule:
         )
 
     @staticmethod
-    def sd15_train_schedule(num_timesteps: int = 1000) -> "DiffusionSchedule":
+    def sd15_train_schedule(
+        num_timesteps: int = 1000, rescale_zero_snr: bool = False
+    ) -> "DiffusionSchedule":
         """The SD-1.5 DDPMScheduler schedule used for *training* noise
         (scaled_linear 0.00085→0.012; reference ``train.py:234``)."""
         return DiffusionSchedule.create(
-            num_timesteps, "linear", linear_start=SD15_BETA_START, linear_end=SD15_BETA_END
+            num_timesteps, "linear", linear_start=SD15_BETA_START,
+            linear_end=SD15_BETA_END, rescale_zero_snr=rescale_zero_snr,
         )
+
+    @property
+    def has_zero_terminal_snr(self) -> bool:
+        return float(self.alphas_cumprod[-1]) == 0.0
 
     @property
     def num_timesteps(self) -> int:

@@ -172,8 +172,10 @@ class SeerPipeline:
     def _sample_fn(self, ddim_steps: int, guidance_scale: float, cond_frame: int,
                    use_cfg: bool, sampler: str = "ddim",
                    guidance_interval=None, prediction_type: str = "epsilon",
-                   pab_config=None):
-        tables = self.schedule.ddim_tables(ddim_steps, eta=0.0)
+                   pab_config=None, timestep_spacing: str = "uniform",
+                   guidance_rescale: float = 0.0):
+        tables = self.schedule.ddim_tables(ddim_steps, eta=0.0,
+                                           discr_method=timestep_spacing)
         if sampler in ("dpm++", "dpmpp"):
             from ..diffusion.dpm_solver import dpm_solver_sample_loop
             loop = dpm_solver_sample_loop
@@ -214,6 +216,7 @@ class SeerPipeline:
                 cond_frame=cond_frame,
                 guidance_interval=guidance_interval if use_cfg else None,
                 prediction_type=prediction_type,
+                guidance_rescale=guidance_rescale if use_cfg else 0.0,
                 **({"pab": pab} if pab is not None else {}),
             )
 
@@ -232,6 +235,8 @@ class SeerPipeline:
         guidance_interval=None,
         prediction_type: str = "epsilon",
         pab_config=None,
+        timestep_spacing: str = "uniform",
+        guidance_rescale: float = 0.0,
     ) -> jnp.ndarray:
         """Sample future-frame latents (DDIM by default; ``sampler="dpm++"``
         uses DPM-Solver++ 2M on the same step grid).
@@ -245,6 +250,10 @@ class SeerPipeline:
         ``pab_config`` (a ``diffusion.pab.PABConfig``, beyond reference)
         enables Pyramid Attention Broadcast: attention deltas are computed
         every N steps and reused in between (N per attention type).
+        ``timestep_spacing="trailing"`` anchors the step grid at t=T-1 and
+        ``guidance_rescale`` applies the CFG std-rescale (both beyond
+        reference; the Lin et al. 2024 zero-terminal-SNR recipe together
+        with a ``rescale_zero_snr`` schedule and v-prediction).
         """
         use_cfg = uncond_context is not None and guidance_scale != 1.0
         # normalize the alias before the lru_cache key — "dpmpp" and "dpm++"
@@ -254,7 +263,8 @@ class SeerPipeline:
             guidance_interval = tuple(float(v) for v in guidance_interval)
         fn = self._sample_fn(ddim_steps, float(guidance_scale), int(cond_frame),
                              use_cfg, sampler, guidance_interval,
-                             prediction_type, pab_config)
+                             prediction_type, pab_config, timestep_spacing,
+                             float(guidance_rescale))
         if not use_cfg:
             uncond_context = context  # placeholder, unused
         return fn(self.m.unet_params, x_T, x0_emb, context, uncond_context)
@@ -275,6 +285,8 @@ class SeerPipeline:
         guidance_interval=None,
         prediction_type: str = "epsilon",
         pab_config=None,
+        timestep_spacing: str = "uniform",
+        guidance_rescale: float = 0.0,
     ) -> jnp.ndarray:
         """Full path: cond frames (b, f1, h, w, 3) in [-1,1] + tokenized prompt
         -> decoded future frames (b, f2, h, w, 3) in [0,1]."""
@@ -311,6 +323,8 @@ class SeerPipeline:
             guidance_interval=guidance_interval,
             prediction_type=prediction_type,
             pab_config=pab_config,
+            timestep_spacing=timestep_spacing,
+            guidance_rescale=guidance_rescale,
         )
         return self.vae_decode_video(latents)
 
@@ -330,6 +344,8 @@ class SeerPipeline:
         guidance_interval=None,
         prediction_type: str = "epsilon",
         pab_config=None,
+        timestep_spacing: str = "uniform",
+        guidance_rescale: float = 0.0,
     ) -> jnp.ndarray:
         """Autoregressive long-video rollout (beyond reference).
 
@@ -410,6 +426,8 @@ class SeerPipeline:
                 guidance_interval=guidance_interval,
                 prediction_type=prediction_type,
                 pab_config=pab_config,
+                timestep_spacing=timestep_spacing,
+                guidance_rescale=guidance_rescale,
             )
             chunks.append(latents)
             if c + 1 < n_chunks:

@@ -45,7 +45,7 @@ class GenerationService:
                  num_frames: int, ddim_steps: int, guidance_scale: float,
                  sampler: str = "ddim", max_batch: int = 4,
                  max_wait_ms: float = 100.0, seed: int = 0,
-                 guidance_interval=None, pab_config=None):
+                 sampling_kwargs: dict | None = None):
         self.pipe = pipe
         self.tokenizer = tokenizer
         self.resolution = resolution
@@ -53,9 +53,13 @@ class GenerationService:
         self.num_frames = num_frames
         self.ddim_steps = ddim_steps
         self.guidance_scale = guidance_scale
-        self.sampler = sampler
-        self.guidance_interval = guidance_interval
-        self.pab_config = pab_config
+        # extra per-call sampler knobs (config.sampling_kwargs_from shape:
+        # guidance_interval / prediction_type / pab_config / timestep_spacing
+        # / guidance_rescale ...); the dict's sampler wins over the sampler=
+        # arg, which is only the fallback when the dict omits it
+        self.sampling_kwargs = dict(sampling_kwargs or {})
+        self.sampling_kwargs.setdefault("sampler", sampler)
+        self.sampler = self.sampling_kwargs["sampler"]
         self.max_batch = max_batch
         self._rng = jax.random.PRNGKey(seed)
         self._counter = 0
@@ -130,8 +134,7 @@ class GenerationService:
             tok_uc["input_ids"], tok_uc["attention_mask"],
             num_frames=self.num_frames, rng=rng,
             ddim_steps=self.ddim_steps, guidance_scale=self.guidance_scale,
-            sampler=self.sampler, guidance_interval=self.guidance_interval,
-            pab_config=self.pab_config,
+            **self.sampling_kwargs,
         )
         videos = np.asarray(videos)  # (B, f2, h, w, 3) in [0, 1]
         cond01 = (cond + 1.0) / 2.0

@@ -21,7 +21,11 @@ from __future__ import annotations
 
 import jax
 
-from seervideoldm_tpu.config import pab_config_from, parse_args
+from seervideoldm_tpu.config import (
+    parse_args,
+    sampler_schedule_from,
+    sampling_kwargs_from,
+)
 from seervideoldm_tpu.parallel.mesh import create_mesh
 from seervideoldm_tpu.pipelines.loading import (
     load_finetuned,
@@ -45,16 +49,16 @@ def main() -> None:
     if ckpt_dir:
         models = load_finetuned(models, ckpt_dir)
     pipe = SeerPipeline(models, mesh=mesh,
+                        schedule=sampler_schedule_from(cfg),
                         donate_latents=bool(cfg.donate_latents))
 
     service = GenerationService(
         pipe, tokenizer, resolution=cfg.resolution,
         cond_frames=cfg.cond_frames, num_frames=cfg.num_frames,
         ddim_steps=cfg.ddim_steps, guidance_scale=cfg.scale,
-        sampler=cfg.sampler, max_batch=int(cfg.serve_max_batch),
+        max_batch=int(cfg.serve_max_batch),
         max_wait_ms=float(cfg.serve_max_wait_ms), seed=cfg.seed,
-        guidance_interval=cfg.guidance_interval,
-        pab_config=pab_config_from(cfg),
+        sampling_kwargs=sampling_kwargs_from(cfg),
     )
     print("warmup: compiling the padded-batch executable ...", flush=True)
     service.warmup()

@@ -130,8 +130,16 @@ def main() -> None:
     # global batch inputs and process-local params
     models.clip_params = replicate_global(mesh, models.clip_params)
     models.vae_params = replicate_global(mesh, models.vae_params)
+    # training noise schedule: SD-1.5 scaled_linear (reference train.py:234),
+    # zero-terminal-SNR-rescaled when the recipe asks for it (requires
+    # v-prediction; enforced by config.validate)
+    from seervideoldm_tpu.diffusion.schedules import DiffusionSchedule
+
     train_step = make_train_step(
         models, tx, cond_frames=cfg.cond_frames,
+        schedule=DiffusionSchedule.sd15_train_schedule(
+            rescale_zero_snr=bool(cfg.rescale_zero_snr)
+        ),
         text_loss=bool(cfg.text_loss), frozen_params=frozen,
         ema_decay=float(cfg.ema_decay),
         prediction_type=cfg.prediction_type,
