@@ -109,6 +109,11 @@ class Config:
     timestep_spacing: str = "uniform"
     # CFG std-rescale blend in [0,1]; 0 = plain CFG (parity), typical 0.7
     guidance_rescale: float = 0.0
+    # --- ZeRO-1 optimizer-state sharding (beyond reference) ---
+    # shard Adam moments / grad-accumulation buffers / EMA over the 'data'
+    # mesh axis (params stay replicated, DDP semantics unchanged); needs a
+    # multi-device 'data' axis — ignored with a warning otherwise
+    zero1: bool = False
     num_samples: int = 1
     sample_iter: int = 1
     n_rows: int = 2

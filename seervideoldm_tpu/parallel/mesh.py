@@ -104,3 +104,21 @@ def replicate_global(mesh: Mesh, tree):
         ),
         tree,
     )
+
+
+def shard_global(mesh: Mesh, tree, shardings):
+    """Place a host-local pytree onto the mesh with per-leaf shardings.
+
+    Every process passes identical full host values (guaranteed by seeded
+    init / collective restore templates); each contributes only the shards
+    its addressable devices own, so this works at any process count —
+    the sharded-state generalization of ``replicate_global``.
+    """
+    def put(x, s):
+        if jax.process_count() == 1:
+            return jax.device_put(x, s)
+        arr = np.asarray(x)
+        return jax.make_array_from_callback(arr.shape, s,
+                                            lambda idx: arr[idx])
+
+    return jax.tree.map(put, tree, shardings)

@@ -66,3 +66,52 @@ def shard_params(params: Any, mesh: Mesh,
     """Place parameters onto the mesh per the inferred shardings."""
     shardings = infer_param_sharding(params, mesh, rules)
     return jax.tree.map(jax.device_put, params, shardings)
+
+
+def zero1_state_sharding(state: Any, mesh: Mesh,
+                         params_sharding: Any = None) -> Any:
+    """ZeRO-1 sharding pytree for a ``training.trainer.TrainState``.
+
+    Params stay replicated (every device still applies the full update —
+    the reference's DDP semantics); the persistent per-parameter *optimizer*
+    tensors — Adam moments, gradient-accumulation buffers, EMA weights —
+    shard their largest ``data``-divisible dimension over the ``data`` axis.
+    The Adam update is elementwise, so GSPMD computes it shard-local and
+    inserts one all-gather where the updated params are consumed — the
+    partitioned-optimizer recipe (Rajbhandari et al. 2020, ZeRO stage 1),
+    expressed purely as sharding annotations.  Memory: moments + EMA drop
+    from 3x to 3x/N of trainable-param bytes per chip.
+
+    Leaves with no divisible dimension (scalar counters, odd shapes, tiny
+    biases) stay replicated — correctness never depends on divisibility.
+
+    ``params_sharding`` overrides the replicated default for the params
+    subtree (tensor-parallel training keeps its TP layout; the moments are
+    still pure-'data' sharded, which GSPMD reshards around the elementwise
+    update — correct for any combination).
+    """
+    n_data = int(mesh.shape.get("data", 1))
+    repl = NamedSharding(mesh, P())
+
+    def shard_leaf(x):
+        shape = getattr(x, "shape", ())
+        if n_data <= 1 or not shape:
+            return repl
+        best, best_dim = None, 0
+        for i, d in enumerate(shape):
+            if d % n_data == 0 and d > best_dim:
+                best, best_dim = i, int(d)
+        if best is None:
+            return repl
+        spec = [None] * len(shape)
+        spec[best] = "data"
+        return NamedSharding(mesh, P(*spec))
+
+    return type(state)(
+        step=repl,
+        params=(params_sharding if params_sharding is not None
+                else jax.tree.map(lambda _: repl, state.params)),
+        opt_state=jax.tree.map(shard_leaf, state.opt_state),
+        ema_params=(jax.tree.map(shard_leaf, state.ema_params)
+                    if state.ema_params is not None else None),
+    )

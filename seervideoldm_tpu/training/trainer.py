@@ -123,6 +123,7 @@ def make_train_step(
     text_loss: bool = False,
     frozen_params: Optional[dict] = None,
     ema_decay: float = 0.0,
+    state_sharding: Any = None,
 ) -> Callable:
     """Build the jitted train step: (state, batch, rng) -> (state, metrics).
 
@@ -211,6 +212,14 @@ def make_train_step(
             )
         new_state = TrainState(step=state.step + 1, params=params,
                                opt_state=opt_state, ema_params=ema_params)
+        if state_sharding is not None:
+            # ZeRO-1 (parallel.sharding.zero1_state_sharding): pin the output
+            # state to the input's shardings so the donated sharded moment /
+            # EMA buffers stay sharded across steps — without the constraint
+            # GSPMD is free to replicate them, silently undoing the memory win
+            new_state = jax.lax.with_sharding_constraint(
+                new_state, state_sharding
+            )
         return new_state, {"loss": loss, "grad_norm": gnorm, **aux}
 
     def train_step(state: TrainState, batch: dict, rng: jax.Array,

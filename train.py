@@ -118,8 +118,23 @@ def main() -> None:
         use_8bit=bool(cfg.use_8bit_adam),
     )
     use_ema = float(cfg.ema_decay) > 0.0
-    state = TrainState.create(trainable, tx, ema=use_ema)
-    state = replicate_global(mesh, state)
+    use_zero1 = bool(cfg.zero1) and mesh.shape.get("data", 1) > 1
+    if bool(cfg.zero1) and not use_zero1:
+        print("zero1: ignored — mesh has no multi-device 'data' axis")
+
+    def place_state(s):
+        """Put a host-local TrainState on the mesh: replicated, or with
+        ZeRO-1 sharded optimizer/EMA buffers (beyond reference)."""
+        if not use_zero1:
+            return replicate_global(mesh, s), None
+        from seervideoldm_tpu.parallel.mesh import shard_global
+        from seervideoldm_tpu.parallel.sharding import zero1_state_sharding
+
+        sh = zero1_state_sharding(s, mesh)
+        return shard_global(mesh, s, sh), sh
+
+    state, state_sharding = place_state(TrainState.create(trainable, tx,
+                                                          ema=use_ema))
     if cfg.get("frozen_params_bf16"):
         # halve frozen-weight memory (quality impact negligible: frozen
         # weights are used in bf16 compute anyway)
@@ -143,6 +158,7 @@ def main() -> None:
         text_loss=bool(cfg.text_loss), frozen_params=frozen,
         ema_decay=float(cfg.ema_decay),
         prediction_type=cfg.prediction_type,
+        state_sharding=state_sharding,
     )
     prepare = prepare_batch_fn(models)
 
@@ -179,8 +195,13 @@ def main() -> None:
             # at flagship scale template + alternate + restored tree live
             # simultaneously otherwise, and the resume would OOM the chip
             try:
-                alt = replicate_global(
-                    mesh, TrainState.create(trainable, tx, ema=not use_ema))
+                # same placement as the main template (ZeRO-1 shardings when
+                # enabled — restored moments land sharded; the migrated EMA
+                # below starts replicated and is re-sharded by the step's
+                # output constraint, costing one extra compile in this
+                # already-rare toggled-EMA resume)
+                alt, _ = place_state(
+                    TrainState.create(trainable, tx, ema=not use_ema))
                 restored = ckpt.restore(global_step, alt)
                 del alt
             except Exception:
