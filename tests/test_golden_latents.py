@@ -52,11 +52,25 @@ def build_case():
 
 def compute_outputs():
     pipe, x_T, x0_emb, context, uncond, kw = build_case()
+    # zero-terminal-SNR recipe locked on the SAME weights/inputs: rescaled
+    # schedule + trailing grid + v-prediction + CFG std-rescale
+    from seervideoldm_tpu.diffusion.schedules import DiffusionSchedule
+    from seervideoldm_tpu.pipelines.text_video import SeerPipeline
+
+    pipe_z = SeerPipeline(
+        pipe.m, schedule=DiffusionSchedule.create(1000, rescale_zero_snr=True),
+        donate_latents=False)
+    zkw = dict(kw, prediction_type="v_prediction",
+               timestep_spacing="trailing", guidance_rescale=0.7)
     return {
         "ddim": np.asarray(pipe.sample_latents(
             x_T, x0_emb, context, uncond, sampler="ddim", **kw)),
         "dpmpp": np.asarray(pipe.sample_latents(
             x_T, x0_emb, context, uncond, sampler="dpm++", **kw)),
+        "ddim_zero_snr": np.asarray(pipe_z.sample_latents(
+            x_T, x0_emb, context, uncond, sampler="ddim", **zkw)),
+        "dpmpp_zero_snr": np.asarray(pipe_z.sample_latents(
+            x_T, x0_emb, context, uncond, sampler="dpm++", **zkw)),
     }
 
 
@@ -65,7 +79,7 @@ def compute_outputs():
 def test_sampler_outputs_match_golden():
     golden = np.load(FIXTURE)
     got = compute_outputs()
-    for name in ("ddim", "dpmpp"):
+    for name in ("ddim", "dpmpp", "ddim_zero_snr", "dpmpp_zero_snr"):
         np.testing.assert_allclose(
             got[name], golden[name], rtol=1e-4, atol=1e-5,
             err_msg=f"{name} sampler drifted from the golden fixture — if "
