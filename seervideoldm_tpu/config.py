@@ -241,6 +241,13 @@ def validate(cfg: Config) -> Config:
             "rescale_zero_snr requires prediction_type: v_prediction — "
             "epsilon prediction is undefined at the zero-SNR terminal step"
         )
+    if cfg.rescale_zero_snr and cfg.timestep_spacing != "trailing":
+        # not an error (training-only configs never sample), but a sampler
+        # on the uniform(+1) grid tops out at t=981 and never visits the
+        # rescaled schedule's terminal SNR-0 step — the recipe's fix
+        # silently would not engage
+        print("warning: rescale_zero_snr without timestep_spacing: trailing "
+              "— sampling will never reach the terminal SNR-0 step")
     if not 0.0 <= float(cfg.guidance_rescale) <= 1.0:
         raise ValueError(
             f"guidance_rescale must be in [0, 1], got {cfg.guidance_rescale!r}"

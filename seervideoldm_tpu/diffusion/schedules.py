@@ -80,9 +80,12 @@ def make_ddim_timesteps(
             np.linspace(0, np.sqrt(num_ddpm_timesteps * 0.8), num_ddim_timesteps) ** 2
         ).astype(int)
     elif ddim_discr_method == "trailing":
-        step = num_ddpm_timesteps / num_ddim_timesteps
-        ts = np.round(np.arange(num_ddpm_timesteps, 0, -step)).astype(np.int64) - 1
-        return ts[::-1].copy()  # ascending, ends exactly at T-1
+        # built from exactly S integer indices — a float arange from T can
+        # overshoot and emit S+1 entries whose lowest rounds to -1 (62 of
+        # the step counts in 1..999, e.g. S=61)
+        s = num_ddim_timesteps
+        ts = np.round(np.arange(1, s + 1) * (num_ddpm_timesteps / s))
+        return ts.astype(np.int64) - 1  # ascending, ends exactly at T-1
     else:
         raise NotImplementedError(f"unknown ddim discretization: {ddim_discr_method}")
     return ddim_timesteps + 1

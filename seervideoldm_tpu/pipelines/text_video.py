@@ -289,35 +289,18 @@ class SeerPipeline:
         guidance_rescale: float = 0.0,
     ) -> jnp.ndarray:
         """Full path: cond frames (b, f1, h, w, 3) in [-1,1] + tokenized prompt
-        -> decoded future frames (b, f2, h, w, 3) in [0,1]."""
-        b, f1, h, w, _ = cond_video.shape
-        f2 = num_frames - f1
-        cond_video = self._shard(cond_video)
-        k_enc, k_noise = jax.random.split(rng)
+        -> decoded future frames (b, f2, h, w, 3) in [0,1].
 
-        clip_emb = self.encode_text(input_ids, attention_mask)
-        context = self.fstext(clip_emb)
-        if context.shape[1] != num_frames:
-            raise ValueError(
-                f"FSText was built for {context.shape[1]} frames but "
-                f"num_frames={num_frames}; rebuild with set_numframe semantics "
-                f"(FSTextTransformer(num_frames=...))"
-            )
-        uncond_emb = self.encode_text(uncond_ids, uncond_mask)
-        # uncond context = raw CLIP embedding expanded per frame (NOT FSText)
-        uncond_context = jnp.broadcast_to(
-            uncond_emb[:, None], (b, context.shape[1], *uncond_emb.shape[1:])
-        )
-
-        x0_emb = self.vae_encode_video(cond_video, k_enc)
-        scale = 2 ** (len(self.m.vae.config.block_out_channels) - 1)
-        x_T = jax.random.normal(
-            k_noise,
-            (b, f2, h // scale, w // scale, self.m.vae.config.latent_channels),
-            dtype=x0_emb.dtype,
-        )
-        latents = self.sample_latents(
-            x_T, x0_emb, context, uncond_context,
+        One-window special case of :meth:`generate_rollout` (single chunk,
+        ``total_frames = num_frames - f1``) — one shared implementation of
+        the conditioning mechanics, locked bitwise by
+        ``test_rollout.py::test_single_chunk_matches_generate_bitwise``."""
+        f2 = num_frames - cond_video.shape[1]
+        return self.generate_rollout(
+            cond_video,
+            [{"input_ids": input_ids, "attention_mask": attention_mask}],
+            uncond_ids, uncond_mask,
+            num_frames=num_frames, total_frames=f2, rng=rng,
             ddim_steps=ddim_steps, guidance_scale=guidance_scale,
             cond_frame=cond_frame, sampler=sampler,
             guidance_interval=guidance_interval,
@@ -326,7 +309,6 @@ class SeerPipeline:
             timestep_spacing=timestep_spacing,
             guidance_rescale=guidance_rescale,
         )
-        return self.vae_decode_video(latents)
 
     def generate_rollout(
         self,
@@ -395,7 +377,8 @@ class SeerPipeline:
         ctx_cache: dict = {}
 
         def context_for(tok):
-            key = (tok["input_ids"].tobytes(), tok["attention_mask"].tobytes())
+            key = (np.asarray(tok["input_ids"]).tobytes(),
+                   np.asarray(tok["attention_mask"]).tobytes())
             if key not in ctx_cache:
                 clip_emb = self.encode_text(tok["input_ids"], tok["attention_mask"])
                 ctx_cache[key] = self.fstext(clip_emb)

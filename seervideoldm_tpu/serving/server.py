@@ -59,7 +59,6 @@ class GenerationService:
         # arg, which is only the fallback when the dict omits it
         self.sampling_kwargs = dict(sampling_kwargs or {})
         self.sampling_kwargs.setdefault("sampler", sampler)
-        self.sampler = self.sampling_kwargs["sampler"]
         self.max_batch = max_batch
         self._rng = jax.random.PRNGKey(seed)
         self._counter = 0

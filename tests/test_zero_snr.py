@@ -69,6 +69,18 @@ def test_trailing_timesteps_non_divisible():
     assert np.all((ts >= 0) & (ts < 1000)) and np.all(np.diff(ts) > 0)
 
 
+def test_trailing_timesteps_every_count_valid():
+    """A float arange from T overshot for 62 of the counts in 1..999 (e.g.
+    S=61: 62 entries, lowest -1 — which wraps to the TERMINAL alpha and
+    feeds timestep -1 to the UNet); the grid must come from exactly S
+    integer indices."""
+    for s in (61, 103, 121, 122, 201, 999):
+        ts = make_ddim_timesteps("trailing", s, 1000)
+        assert ts.shape == (s,), s
+        assert ts[-1] == 999 and ts.min() >= 0, s
+        assert np.all(np.diff(ts) > 0), s
+
+
 def test_trailing_tables_start_at_terminal():
     sched = DiffusionSchedule.create(1000, rescale_zero_snr=True)
     tables = sched.ddim_tables(10, eta=0.0, discr_method="trailing")
