@@ -66,6 +66,10 @@ class Config:
     # beyond reference: "epsilon" (reference parity) or "v_prediction" —
     # sets BOTH the training target and the samplers' output interpretation
     prediction_type: str = "epsilon"
+    # beyond reference: min-SNR-γ loss weighting (arXiv 2303.09556) — clamp
+    # the per-timestep loss weight at min(SNR, γ)/SNR (ε) or min(SNR, γ)/
+    # (SNR+1) (v). 0 disables (reference-parity unweighted MSE); typical 5.0
+    snr_gamma: float = 0.0
     save_steps: int = 1000
     saved_global_step: Optional[int] = None
     # checkpoint retention: keep only the newest N step directories
@@ -248,6 +252,8 @@ def validate(cfg: Config) -> Config:
         # silently would not engage
         print("warning: rescale_zero_snr without timestep_spacing: trailing "
               "— sampling will never reach the terminal SNR-0 step")
+    if float(cfg.snr_gamma) < 0.0:
+        raise ValueError(f"snr_gamma must be >= 0, got {cfg.snr_gamma!r}")
     if not 0.0 <= float(cfg.guidance_rescale) <= 1.0:
         raise ValueError(
             f"guidance_rescale must be in [0, 1], got {cfg.guidance_rescale!r}"

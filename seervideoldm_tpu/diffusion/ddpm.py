@@ -31,6 +31,33 @@ def add_noise(
     )
 
 
+def min_snr_weight(
+    alphas_cumprod: jnp.ndarray,
+    timesteps: jnp.ndarray,
+    gamma: float,
+    prediction_type: str = "epsilon",
+) -> jnp.ndarray:
+    """Per-sample min-SNR-γ loss weights (Hang et al. 2023, arXiv 2303.09556).
+
+    Beyond reference: the reference trains with an unweighted MSE; min-SNR
+    clamps the per-timestep weight so easy low-noise steps stop dominating
+    the gradient.  SNR_t = ᾱ_t / (1 - ᾱ_t); the weight is
+    ``min(SNR, γ) / SNR`` for epsilon prediction and ``min(SNR, γ) /
+    (SNR + 1)`` for v-prediction (the diffusers convention — the +1 folds
+    the ε↔v variance change into the same clamp).  Returns shape
+    ``timesteps.shape`` in fp32; finite even at ᾱ→0 (SNR→0 ⇒ weight→1 for
+    ε, →0 for v) and at ᾱ→1 when γ caps the blow-up.
+    """
+    acp = alphas_cumprod.astype(jnp.float32)
+    snr = jnp.take(acp / (1.0 - acp), timesteps)
+    if prediction_type == "epsilon":
+        # min(SNR,γ)/SNR written division-last so SNR→0 gives 1, not 0/0
+        return jnp.minimum(jnp.float32(1.0), jnp.float32(gamma) / snr)
+    if prediction_type == "v_prediction":
+        return jnp.minimum(snr, jnp.float32(gamma)) / (snr + 1.0)
+    raise ValueError(f"unknown prediction type {prediction_type}")
+
+
 def get_velocity(
     alphas_cumprod: jnp.ndarray,
     sample: jnp.ndarray,

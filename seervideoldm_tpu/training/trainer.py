@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..diffusion.ddpm import add_noise, get_velocity
+from ..diffusion.ddpm import add_noise, get_velocity, min_snr_weight
 from ..diffusion.schedules import DiffusionSchedule
 from ..models.vae import VAE_SCALE
 
@@ -124,6 +124,7 @@ def make_train_step(
     frozen_params: Optional[dict] = None,
     ema_decay: float = 0.0,
     state_sharding: Any = None,
+    snr_gamma: float = 0.0,
 ) -> Callable:
     """Build the jitted train step: (state, batch, rng) -> (state, metrics).
 
@@ -160,8 +161,17 @@ def make_train_step(
             target = get_velocity(acp, latents, noise, timesteps)
         else:
             raise ValueError(f"unknown prediction type {prediction_type}")
-        loss = jnp.mean((pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2)
-        return loss + loss_text, {"mse": loss}
+        se = (pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2
+        if snr_gamma > 0.0:
+            # min-SNR-γ (beyond reference, arXiv 2303.09556): per-sample MSE
+            # weighted by the clamped SNR; `mse` metric stays the raw MSE so
+            # logged curves remain comparable across snr_gamma settings
+            w = min_snr_weight(acp, timesteps, snr_gamma, prediction_type)
+            per_sample = se.reshape(se.shape[0], -1).mean(axis=1)
+            loss = jnp.mean(w * per_sample)
+        else:
+            loss = jnp.mean(se)
+        return loss + loss_text, {"mse": jnp.mean(se)}
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def _train_step(state: TrainState, batch: dict, rng: jax.Array, frozen):

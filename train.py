@@ -159,6 +159,7 @@ def main() -> None:
         ema_decay=float(cfg.ema_decay),
         prediction_type=cfg.prediction_type,
         state_sharding=state_sharding,
+        snr_gamma=float(cfg.snr_gamma),
     )
     prepare = prepare_batch_fn(models)
 
