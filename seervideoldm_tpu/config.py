@@ -147,6 +147,12 @@ class Config:
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"
     use_pallas_attention: bool = True
+    # ring attention for the SWAT temporal attention under sequence
+    # parallelism: keep the frame axis sharded and rotate K/V blocks around
+    # the 'seq' axis with ppermute instead of all-gathering the sequence
+    # (peak memory O(local block) — the long-rollout enabler). Only engages
+    # when the mesh has a seq axis; false forces the gather-based paths.
+    ring_attention: bool = True
     remat: bool = False
     donate_latents: bool = True
 

@@ -279,10 +279,26 @@ class WindowTemporalAttention(nn.Module):
         k = apply_rotary(k, freqs)
 
         out = None
+        # Under sequence parallelism (a registered mesh with a 'seq' axis)
+        # this is the ONE op that needs cross-frame visibility; the ring
+        # path keeps the frame axis sharded and rotates K/V blocks with
+        # ppermute instead of all-gathering the full sequence onto every
+        # device (ops/ring.py) — peak memory O(local block), the enabler
+        # for long-rollout frame counts.  None = no seq mesh / shapes
+        # don't divide: fall through to the gather-based paths below.
+        from .ring import ring_attention_applicable, ring_window_attention
+
+        if ring_attention_applicable():
+            bh = b * self.heads
+            grid5 = lambda t: t.reshape(bh, f, h, w, self.dim_head)  # noqa: E731
+            out = ring_window_attention(
+                grid5(q), grid5(k), grid5(v), scale, self.causal, ws)
+            if out is not None:
+                out = out.reshape(b, self.heads, n, self.dim_head)
         # measured on v5e: the fused kernel wins at ws=8 (3.0 vs 4.1 ms at
         # the 512px-L1 shape) but the XLA path edges it out at ws=4 windows
         # (2.05 vs 2.24 ms) — tiny windows amortize nothing
-        if ws is not None and ws >= 8 and self.use_flash:
+        if out is None and ws is not None and ws >= 8 and self.use_flash:
             from .pallas import get_activation_mesh, maybe_shard_batched
             from .pallas.swat_attention import swat_attention, swat_attention_available
 

@@ -73,8 +73,11 @@ def load_models(cfg: Config, rng: jax.Array, latent_size: Optional[int] = None,
     from ..ops.pallas import (get_activation_mesh, set_activation_mesh,
                               set_pallas_enabled)
 
+    from ..ops.ring import set_ring_enabled
+
     use_pallas = bool(cfg.get("use_pallas_attention", True))
     set_pallas_enabled(use_pallas)
+    set_ring_enabled(bool(cfg.get("ring_attention", True)))
     seq_parallel = mesh is not None and mesh.shape.get("seq", 1) > 1
     # set_activation_mesh itself filters to the batch-bearing axes with
     # size > 1 and registers None when there are none (or mesh is None)
@@ -82,6 +85,10 @@ def load_models(cfg: Config, rng: jax.Array, latent_size: Optional[int] = None,
     if get_activation_mesh() is not None and use_pallas:
         print("multi-device mesh: Pallas kernels run under shard_map "
               "(batch-partitioned); non-divisible sites take the XLA paths")
+    if seq_parallel and bool(cfg.get("ring_attention", True)):
+        print("seq axis active: SWAT temporal attention runs the ppermute "
+              "ring (frame shards stay resident; ring_attention: false "
+              "restores the gather paths)")
 
     dtype_key = cfg.get("compute_dtype") or cfg.mixed_precision or "bfloat16"
     if cfg.get("compute_dtype") == "bfloat16" and cfg.mixed_precision == "no":
