@@ -118,6 +118,12 @@ class Config:
     # mesh axis (params stay replicated, DDP semantics unchanged); needs a
     # multi-device 'data' axis — ignored with a warning otherwise
     zero1: bool = False
+    # --- FSDP / ZeRO-3 (beyond reference) ---
+    # shard the PARAMETERS themselves (trainable, frozen, VAE/CLIP) plus all
+    # optimizer tensors over the 'data' axis; GSPMD inserts per-layer
+    # all-gathers and gradient reduce-scatters over ICI. Per-chip weight
+    # memory ~1/N; training math unchanged. Subsumes zero1.
+    fsdp: bool = False
     num_samples: int = 1
     sample_iter: int = 1
     n_rows: int = 2

@@ -68,6 +68,52 @@ def shard_params(params: Any, mesh: Mesh,
     return jax.tree.map(jax.device_put, params, shardings)
 
 
+def _largest_divisible_spec(mesh: Mesh, shape, axis: str = "data") -> P:
+    """PartitionSpec sharding the largest ``axis``-divisible dim, else P()."""
+    n = int(mesh.shape.get(axis, 1))
+    if n <= 1 or not shape:
+        return P()
+    best, best_dim = None, 0
+    for i, d in enumerate(shape):
+        if d % n == 0 and d > best_dim:
+            best, best_dim = i, int(d)
+    if best is None:
+        return P()
+    spec = [None] * len(shape)
+    spec[best] = axis
+    return P(*spec)
+
+
+def fsdp_param_sharding(params: Any, mesh: Mesh, axis: str = "data") -> Any:
+    """FSDP / ZeRO-3 parameter layout: every leaf shards its largest
+    ``data``-divisible dimension over the data axis.
+
+    Beyond the reference (whose DDP replicates all weights on every GPU,
+    ``train.py:265-267``): with the weights themselves sharded, GSPMD
+    inserts a just-in-time all-gather where each layer consumes its
+    (sharded) weight and a reduce-scatter for its gradient — the
+    fully-sharded-data-parallel recipe expressed purely as sharding
+    annotations, riding ICI.  Per-chip weight memory drops to 1/N; compute
+    and training math are unchanged.  Leaves with no divisible dim stay
+    replicated (correctness never depends on divisibility).
+    """
+    return jax.tree.map(
+        lambda x: NamedSharding(
+            mesh, _largest_divisible_spec(mesh, getattr(x, "shape", ()), axis)
+        ),
+        params,
+    )
+
+
+def fsdp_state_sharding(state: Any, mesh: Mesh) -> Any:
+    """ZeRO-3 TrainState layout: params AND the optimizer tensors (moments,
+    accumulation buffers, EMA) all shard over 'data' — ``zero1_state_sharding``
+    with the params subtree sharded the FSDP way instead of replicated."""
+    return zero1_state_sharding(
+        state, mesh, params_sharding=fsdp_param_sharding(state.params, mesh)
+    )
+
+
 def zero1_state_sharding(state: Any, mesh: Mesh,
                          params_sharding: Any = None) -> Any:
     """ZeRO-1 sharding pytree for a ``training.trainer.TrainState``.
@@ -90,22 +136,12 @@ def zero1_state_sharding(state: Any, mesh: Mesh,
     still pure-'data' sharded, which GSPMD reshards around the elementwise
     update — correct for any combination).
     """
-    n_data = int(mesh.shape.get("data", 1))
     repl = NamedSharding(mesh, P())
 
     def shard_leaf(x):
-        shape = getattr(x, "shape", ())
-        if n_data <= 1 or not shape:
-            return repl
-        best, best_dim = None, 0
-        for i, d in enumerate(shape):
-            if d % n_data == 0 and d > best_dim:
-                best, best_dim = i, int(d)
-        if best is None:
-            return repl
-        spec = [None] * len(shape)
-        spec[best] = "data"
-        return NamedSharding(mesh, P(*spec))
+        return NamedSharding(
+            mesh, _largest_divisible_spec(mesh, getattr(x, "shape", ()))
+        )
 
     return type(state)(
         step=repl,

@@ -118,19 +118,29 @@ def main() -> None:
         use_8bit=bool(cfg.use_8bit_adam),
     )
     use_ema = float(cfg.ema_decay) > 0.0
-    use_zero1 = bool(cfg.zero1) and mesh.shape.get("data", 1) > 1
-    if bool(cfg.zero1) and not use_zero1:
+    data_multi = mesh.shape.get("data", 1) > 1
+    use_fsdp = bool(cfg.get("fsdp")) and data_multi
+    use_zero1 = bool(cfg.zero1) and data_multi and not use_fsdp
+    if bool(cfg.get("fsdp")) and not data_multi:
+        print("fsdp: ignored — mesh has no multi-device 'data' axis")
+    if bool(cfg.zero1) and not data_multi:
         print("zero1: ignored — mesh has no multi-device 'data' axis")
+    if bool(cfg.zero1) and use_fsdp:
+        print("zero1: subsumed by fsdp (ZeRO-3 already shards the moments)")
 
     def place_state(s):
-        """Put a host-local TrainState on the mesh: replicated, or with
-        ZeRO-1 sharded optimizer/EMA buffers (beyond reference)."""
-        if not use_zero1:
+        """Put a host-local TrainState on the mesh: replicated, ZeRO-1
+        (sharded optimizer/EMA buffers), or FSDP/ZeRO-3 (params sharded
+        too) — both beyond reference."""
+        if not (use_zero1 or use_fsdp):
             return replicate_global(mesh, s), None
         from seervideoldm_tpu.parallel.mesh import shard_global
-        from seervideoldm_tpu.parallel.sharding import zero1_state_sharding
+        from seervideoldm_tpu.parallel.sharding import (
+            fsdp_state_sharding, zero1_state_sharding,
+        )
 
-        sh = zero1_state_sharding(s, mesh)
+        sh = (fsdp_state_sharding(s, mesh) if use_fsdp
+              else zero1_state_sharding(s, mesh))
         return shard_global(mesh, s, sh), sh
 
     state, state_sharding = place_state(TrainState.create(trainable, tx,
@@ -139,12 +149,22 @@ def main() -> None:
         # halve frozen-weight memory (quality impact negligible: frozen
         # weights are used in bf16 compute anyway)
         frozen = jax.tree.map(lambda p: p.astype(jnp.bfloat16), frozen)
-    frozen = replicate_global(mesh, frozen)
     # frozen VAE/CLIP weights feed the jitted prepare(): they must be global
-    # (replicated) arrays too, or multi-process jit rejects the mix of
-    # global batch inputs and process-local params
-    models.clip_params = replicate_global(mesh, models.clip_params)
-    models.vae_params = replicate_global(mesh, models.vae_params)
+    # arrays too, or multi-process jit rejects the mix of global batch
+    # inputs and process-local params.  Under FSDP they shard over 'data'
+    # like everything else (the frozen UNet half is the largest weight
+    # block in the whole run); GSPMD gathers per-layer at use.
+    def place_frozen(tree):
+        if not use_fsdp:
+            return replicate_global(mesh, tree)
+        from seervideoldm_tpu.parallel.mesh import shard_global
+        from seervideoldm_tpu.parallel.sharding import fsdp_param_sharding
+
+        return shard_global(mesh, tree, fsdp_param_sharding(tree, mesh))
+
+    frozen = place_frozen(frozen)
+    models.clip_params = place_frozen(models.clip_params)
+    models.vae_params = place_frozen(models.vae_params)
     # training noise schedule: SD-1.5 scaled_linear (reference train.py:234),
     # zero-terminal-SNR-rescaled when the recipe asks for it (requires
     # v-prediction; enforced by config.validate)
