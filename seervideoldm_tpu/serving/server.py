@@ -11,6 +11,11 @@ API:
   GET  /healthz             -> {"ok": true, "batches": N, "requests": M}
   POST /generate            body: {"prompt": str, "image": base64 png/jpeg}
                             -> image/gif (cond frames + generated frames)
+
+With ``total_frames`` configured the server runs the autoregressive
+long-video rollout per batch (``pipelines/text_video.py::generate_rollout``)
+and the ``prompt`` may chain per-chunk instructions with ``"|"``
+(``"pick up the cup | pour it | put it down"``).
 """
 from __future__ import annotations
 
@@ -45,7 +50,8 @@ class GenerationService:
                  num_frames: int, ddim_steps: int, guidance_scale: float,
                  sampler: str = "ddim", max_batch: int = 4,
                  max_wait_ms: float = 100.0, seed: int = 0,
-                 sampling_kwargs: dict | None = None):
+                 sampling_kwargs: dict | None = None,
+                 total_frames: int | None = None):
         self.pipe = pipe
         self.tokenizer = tokenizer
         self.resolution = resolution
@@ -59,6 +65,13 @@ class GenerationService:
         # arg, which is only the fallback when the dict omits it
         self.sampling_kwargs = dict(sampling_kwargs or {})
         self.sampling_kwargs.setdefault("sampler", sampler)
+        # autoregressive long-video rollout (pipeline generate_rollout):
+        # server-wide so every request in a padded batch shares one chunk
+        # count (a per-request length would fracture the compiled batch).
+        # Prompts may chain per-chunk instructions with "|".
+        self.total_frames = int(total_frames) if total_frames else None
+        if self.total_frames and num_frames - cond_frames < 1:
+            raise ValueError("total_frames rollout needs num_frames > cond_frames")
         self.max_batch = max_batch
         self._rng = jax.random.PRNGKey(seed)
         self._counter = 0
@@ -122,19 +135,41 @@ class GenerationService:
                           + [reqs[0].image] * (self.max_batch - n))
         cond = frames[:, None].repeat(self.cond_frames, axis=1)
         prompts = [r.prompt for r in reqs] + [""] * (self.max_batch - n)
-        tok = self.tokenizer(prompts)
         negs = [r.negative_prompt for r in reqs] + [""] * (self.max_batch - n)
         tok_uc = self.tokenizer(negs) if any(negs) else self._tok_uc
         with self._lock:
             rng = jax.random.fold_in(self._rng, self._counter)
             self._counter += 1
-        videos = self.pipe.generate(
-            cond, tok["input_ids"], tok["attention_mask"],
-            tok_uc["input_ids"], tok_uc["attention_mask"],
+        common = dict(
             num_frames=self.num_frames, rng=rng,
             ddim_steps=self.ddim_steps, guidance_scale=self.guidance_scale,
             **self.sampling_kwargs,
         )
+        if self.total_frames:
+            # rollout: each request may chain per-chunk instructions with
+            # "|"; chains are padded with their last entry (or truncated) to
+            # the server's fixed chunk count, then tokenized per chunk
+            f2 = self.num_frames - self.cond_frames
+            n_chunks = -(-self.total_frames // f2)
+            chains = [
+                [s.strip() for s in p.split("|") if s.strip()] or [""]
+                for p in prompts
+            ]
+            chains = [(c + [c[-1]] * n_chunks)[:n_chunks] for c in chains]
+            prompts_tok = [self.tokenizer([c[i] for c in chains])
+                           for i in range(n_chunks)]
+            videos = self.pipe.generate_rollout(
+                cond, prompts_tok,
+                tok_uc["input_ids"], tok_uc["attention_mask"],
+                total_frames=self.total_frames, **common,
+            )
+        else:
+            tok = self.tokenizer(prompts)
+            videos = self.pipe.generate(
+                cond, tok["input_ids"], tok["attention_mask"],
+                tok_uc["input_ids"], tok_uc["attention_mask"],
+                **common,
+            )
         videos = np.asarray(videos)  # (B, f2, h, w, 3) in [0, 1]
         cond01 = (cond + 1.0) / 2.0
         return [np.concatenate([cond01[i], videos[i]], axis=0)

@@ -59,6 +59,10 @@ def main() -> None:
         max_batch=int(cfg.serve_max_batch),
         max_wait_ms=float(cfg.serve_max_wait_ms), seed=cfg.seed,
         sampling_kwargs=sampling_kwargs_from(cfg),
+        # long-video rollout (server-wide so the batch shares one chunk
+        # count); request prompts may chain per-chunk instructions with "|"
+        total_frames=(int(cfg.total_frames) if cfg.get("total_frames")
+                      else None),
     )
     print("warmup: compiling the padded-batch executable ...", flush=True)
     service.warmup()

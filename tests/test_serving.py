@@ -150,6 +150,38 @@ def test_service_on_data_mesh(service):
         svc.stop()
 
 
+def test_service_rollout(service):
+    """total_frames > num_frames - cond_frames runs the autoregressive
+    rollout per batch; '|'-chained prompts map one instruction per chunk
+    and short chains repeat their last entry."""
+    from seervideoldm_tpu.serving import GenerationService
+
+    svc = GenerationService(
+        service.pipe, service.tokenizer,
+        resolution=16, cond_frames=1, num_frames=4, ddim_steps=2,
+        guidance_scale=7.5, max_batch=2, max_wait_ms=50.0, seed=0,
+        total_frames=7,  # f2=3 -> 3 chunks (ceil), last chunk cropped
+    )
+    try:
+        video = svc.generate("pick | pour | place", _png_bytes())
+        # cond frame + total_frames rollout frames
+        assert video.shape == (1 + 7, 16, 16, 3) and np.isfinite(video).all()
+        # a single-instruction prompt repeats across chunks (no error)
+        video2 = svc.generate("push", _png_bytes(1))
+        assert video2.shape == (8, 16, 16, 3)
+    finally:
+        svc.stop()
+
+
+def test_service_rollout_rejects_bad_window():
+    from seervideoldm_tpu.serving import GenerationService
+
+    with pytest.raises(ValueError, match="num_frames > cond_frames"):
+        GenerationService(None, None, resolution=16, cond_frames=4,
+                          num_frames=4, ddim_steps=2, guidance_scale=7.5,
+                          total_frames=8)
+
+
 def _png_bytes(seed: int = 0, size: int = 24) -> bytes:
     from PIL import Image
 
