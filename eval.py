@@ -97,6 +97,54 @@ def main() -> None:
         c3d_apply = jax.jit(lambda p, v: c3d.apply({"params": p}, v))
         c3d_classify = lambda v: c3d_apply(c3d_params, jnp.asarray(v))  # noqa: E731
 
+    clip_sim_fn = None
+    clip_sims: list[np.ndarray] = []
+    if cfg.get("compute_clip_sim"):
+        # CLIPSIM (beyond reference): mean frame-vs-prompt CLIP cosine —
+        # text faithfulness, which FVD/IS don't measure
+        from seervideoldm_tpu.evaluation.clip_sim import (
+            CLIPProjections, CLIPVisionConfig, CLIPVisionModel,
+            make_clip_sim_fn,
+        )
+        from seervideoldm_tpu.models.clip_text import (
+            CLIPTextConfig, CLIPTextModel,
+        )
+        from seervideoldm_tpu.utils.inits import jit_init
+
+        # tiny-config overrides for CPU drives, same pattern as the main
+        # models: model_overrides: {clip_sim: {vision: {...}, text: {...}}}
+        ov = (cfg.get("model_overrides") or {}).get("clip_sim", {})
+        vcfg = CLIPVisionConfig(**ov.get("vision", {}))
+        tcfg = CLIPTextConfig(**ov.get("text", {}))
+        vision = CLIPVisionModel(vcfg)
+        text = CLIPTextModel(tcfg)
+        proj = CLIPProjections(projection_dim=vcfg.projection_dim)
+        vp = jit_init(lambda k: vision.init(
+            k, jnp.zeros((1, vcfg.image_size, vcfg.image_size, 3))),
+            jax.random.PRNGKey(0))
+        tp = jit_init(lambda k: text.init(
+            k, jnp.zeros((1, tcfg.max_position_embeddings), jnp.int32)),
+            jax.random.PRNGKey(0))
+        pp = proj.init(jax.random.PRNGKey(0),
+                       jnp.zeros((1, vcfg.hidden_size)),
+                       jnp.zeros((1, tcfg.hidden_size)))["params"]
+        if cfg.get("clip_sim_ckpt"):
+            from seervideoldm_tpu.io.convert import (
+                convert_clip_projections, convert_clip_text,
+                convert_clip_vision, load_torch_state_dict,
+            )
+
+            sd = load_torch_state_dict(cfg.clip_sim_ckpt)
+            vp = convert_clip_vision(sd, vp)
+            tp = convert_clip_text(
+                {k: v for k, v in sd.items()
+                 if k.startswith("text_model.")}, tp)
+            pp = convert_clip_projections(sd, pp)
+        else:
+            print("WARNING: no clip_sim_ckpt given — CLIPSIM uses random "
+                  "CLIP weights")
+        clip_sim_fn = make_clip_sim_fn(vision, text, proj, vp, tp, pp)
+
     dataset = build_dataset(
         cfg.dataset, cfg.dataset_path or cfg.get("data_dir"),
         cfg.resolution, cfg.num_frames, split="val",
@@ -121,6 +169,17 @@ def main() -> None:
             ddim_steps=cfg.ddim_steps, guidance_scale=cfg.scale,
             **sampling_kwargs_from(cfg),
         )
+        if clip_sim_fn is not None:
+            # score the GENERATED frames against the prompt (cond frames are
+            # inputs, not predictions)
+            sims = np.asarray(clip_sim_fn(
+                jnp.asarray(samples), jnp.asarray(tok["input_ids"]),
+                jnp.asarray(tok["attention_mask"])))
+            clip_sims.append(gather_across_hosts(sims))
+            if is_main_process():
+                running = float(np.concatenate(clip_sims).mean())
+                print(f"[{sum(len(s) for s in clip_sims)} clips] "
+                      f"CLIPSIM {running:.4f}")
         # prepend cond frames to prediction (eval.py:225)
         pred = np.concatenate(
             [np.asarray((cond + 1.0) / 2.0), np.asarray(samples)], axis=1
@@ -164,6 +223,8 @@ def main() -> None:
             print(f"Final FVD {fvd:.2f}, KVD {kvd:.4f}")
         if cfg.compute_is:
             print(f"Final IS {is_mean:.2f} +- {is_std:.2f}")
+        if clip_sim_fn is not None and clip_sims:
+            print(f"Final CLIPSIM {float(np.concatenate(clip_sims).mean()):.4f}")
 
 
 if __name__ == "__main__":

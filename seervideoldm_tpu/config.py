@@ -141,6 +141,11 @@ class Config:
     is_cast_frames: bool = False
     i3d_ckpt: Optional[str] = None
     c3d_ckpt: Optional[str] = None
+    # beyond reference: CLIPSIM text-faithfulness metric (mean frame-vs-
+    # prompt CLIP cosine, GODIVA protocol) — needs a local HF CLIPModel
+    # state dict (ViT-L/14) for clip_sim_ckpt
+    compute_clip_sim: bool = False
+    clip_sim_ckpt: Optional[str] = None
 
     # --- serving (beyond reference) ---
     serve_host: str = "127.0.0.1"

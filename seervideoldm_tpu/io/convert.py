@@ -192,6 +192,36 @@ def convert_clip_text(state_dict: Mapping[str, np.ndarray], target_params) -> di
     return tree
 
 
+_CLIP_VISION_RENAMES = [
+    (r"^vision_model\.", ""),
+    (r"^embeddings\.patch_embedding\.", "patch_embedding."),
+    (r"^embeddings\.class_embedding$", "class_embedding"),
+    (r"^embeddings\.position_embedding\.weight$", "position_embedding"),
+    (r"^encoder\.layers\.", "layers."),
+    (r"\.mlp\.fc", ".fc"),
+]
+
+
+def convert_clip_vision(state_dict: Mapping[str, np.ndarray], target_params) -> dict:
+    """CLIP ViT image tower from a full HF ``CLIPModel`` state dict
+    (``vision_model.*`` keys) — used by the CLIPSIM metric
+    (``evaluation/clip_sim.py``)."""
+    sd = {k: v for k, v in state_dict.items()
+          if k.startswith("vision_model.") and "position_ids" not in k}
+    tree, _, _ = torch_to_flax(sd, target_params, strict=True,
+                               rename=_CLIP_VISION_RENAMES)
+    return tree
+
+
+def convert_clip_projections(state_dict: Mapping[str, np.ndarray],
+                             target_params) -> dict:
+    """The two no-bias projection heads of HF ``CLIPModel``."""
+    sd = {k: state_dict[k]
+          for k in ("visual_projection.weight", "text_projection.weight")}
+    tree, _, _ = torch_to_flax(sd, target_params, strict=True)
+    return tree
+
+
 def convert_seer_unet(
     state_dict: Mapping[str, np.ndarray], target_params, strict: bool = True
 ) -> tuple[dict, list[str]]:
