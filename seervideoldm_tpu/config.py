@@ -113,6 +113,18 @@ class Config:
     timestep_spacing: str = "uniform"
     # CFG std-rescale blend in [0,1]; 0 = plain CFG (parity), typical 0.7
     guidance_rescale: float = 0.0
+    # --- LoRA adaptation (beyond reference; arXiv 2106.09685) ---
+    # rank of the low-rank attention-projection adapters. 0 = off (reference
+    # parity: full temporal-attention fine-tune). With rank > 0 the UNet is
+    # FULLY frozen and only the rank-r A/B factors (+ FSText) train — the
+    # recipe for adapting a fine-tuned Seer checkpoint to a new domain.
+    # Checkpoints store the MERGED weights (load anywhere unchanged).
+    lora_rank: int = 0
+    # LoRA alpha (delta scaled by alpha/rank); null = rank (scale 1.0)
+    lora_alpha: Optional[float] = None
+    # "attention" = every UNet attention projection (spatial/cross/temporal);
+    # "temporal" = only temporal_attentions (the reference trainable scope)
+    lora_targets: str = "attention"
     # --- ZeRO-1 optimizer-state sharding (beyond reference) ---
     # shard Adam moments / grad-accumulation buffers / EMA over the 'data'
     # mesh axis (params stay replicated, DDP semantics unchanged); needs a
@@ -269,6 +281,19 @@ def validate(cfg: Config) -> Config:
         # silently would not engage
         print("warning: rescale_zero_snr without timestep_spacing: trailing "
               "— sampling will never reach the terminal SNR-0 step")
+    if int(cfg.lora_rank) < 0:
+        raise ValueError(f"lora_rank must be >= 0, got {cfg.lora_rank!r}")
+    if int(cfg.lora_rank) > 0:
+        from .training.lora import SCOPES
+
+        if cfg.lora_targets not in SCOPES:
+            raise ValueError(
+                f"lora_targets must be one of {SCOPES}, got {cfg.lora_targets!r}"
+            )
+        if cfg.lora_alpha is not None and float(cfg.lora_alpha) <= 0.0:
+            raise ValueError(
+                f"lora_alpha must be > 0, got {cfg.lora_alpha!r}"
+            )
     if float(cfg.snr_gamma) < 0.0:
         raise ValueError(f"snr_gamma must be >= 0, got {cfg.snr_gamma!r}")
     if not 0.0 <= float(cfg.guidance_rescale) <= 1.0:

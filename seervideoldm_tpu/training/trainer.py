@@ -125,6 +125,7 @@ def make_train_step(
     ema_decay: float = 0.0,
     state_sharding: Any = None,
     snr_gamma: float = 0.0,
+    lora_scale: float = 0.0,
 ) -> Callable:
     """Build the jitted train step: (state, batch, rng) -> (state, metrics).
 
@@ -138,10 +139,30 @@ def make_train_step(
     unet, fstext = models.unet, models.fstext
 
     def loss_fn(trainable, batch, noise, timesteps, frozen):
+        if lora_scale > 0.0:
+            # LoRA (training/lora.py): the trainable tree carries a "lora"
+            # adapter subtree; the effective UNet kernels W + scale*A@B are
+            # materialized here inside the differentiated step, so grads
+            # flow only to the rank-r factors
+            from .lora import split_lora
+
+            lora, trainable = split_lora(trainable)
+            if lora is None:
+                raise ValueError(
+                    "lora_scale > 0 but the trainable tree has no 'lora' "
+                    "subtree (build it with training.lora.init_lora)"
+                )
+        else:
+            lora = None
         params = (
             combine_params(trainable, frozen)
             if frozen is not None else trainable
         )
+        if lora is not None:
+            from .lora import apply_lora
+
+            params = dict(params, unet=apply_lora(params["unet"], lora,
+                                                  lora_scale))
         context = fstext.apply({"params": params["fstext"]}, batch["clip_emb"])
         loss_text = 0.0
         if text_loss:

@@ -94,8 +94,35 @@ def main() -> None:
 
     models, tokenizer = load_models(cfg, rng, mesh=mesh)
     params = {"unet": models.unet_params, "fstext": models.fstext_params}
-    # gradients + Adam state only for temporal attentions + FSText
-    trainable, frozen = partition_params(params, trainable_mask(params))
+    lora_rank = int(cfg.lora_rank or 0)
+    if lora_rank:
+        # LoRA (beyond reference, training/lora.py): the WHOLE UNet freezes;
+        # trainable = rank-r adapters on the attention projections + FSText.
+        # Meaningful when the base is an already-fine-tuned Seer checkpoint
+        # (fresh temporal attentions have nothing for a low-rank delta to
+        # adapt) — warn rather than reject, tiny-scale smoke runs are legit.
+        from seervideoldm_tpu.training.lora import init_lora, lora_scale, param_count
+
+        if not (cfg.get("learned_unet_ckpt") or cfg.get("saved_global_step")):
+            print("lora: base UNet has no fine-tuned temporal attentions — "
+                  "LoRA adapts whatever the base weights are")
+        import jax.tree_util as jtu
+
+        fstext_only = jtu.tree_map_with_path(
+            lambda p, _: (p[0].key if hasattr(p[0], "key") else str(p[0]))
+            == "fstext", params)
+        trainable, frozen = partition_params(params, fstext_only)
+        adapters = init_lora(frozen["unet"], lora_rank,
+                             jax.random.fold_in(rng, 7),
+                             scope=cfg.lora_targets)
+        trainable = {**trainable, "lora": adapters}
+        lscale = lora_scale(lora_rank, cfg.lora_alpha)
+        print(f"lora: rank {lora_rank} scope {cfg.lora_targets} — "
+              f"{param_count(adapters) / 1e6:.2f}M adapter params")
+    else:
+        # gradients + Adam state only for temporal attentions + FSText
+        trainable, frozen = partition_params(params, trainable_mask(params))
+        lscale = 0.0
     # drop the original full fp32 trees: the partition shares the trainable
     # buffers, but once frozen is cast to bf16 below the fp32 frozen halves
     # (~3.9 GB at flagship scale) would otherwise stay alive through these
@@ -180,6 +207,7 @@ def main() -> None:
         prediction_type=cfg.prediction_type,
         state_sharding=state_sharding,
         snr_gamma=float(cfg.snr_gamma),
+        lora_scale=lscale,
     )
     prepare = prepare_batch_fn(models)
 
@@ -371,9 +399,14 @@ def main() -> None:
                 barrier_sync(f"save_{global_step}")
                 # params-only sub-checkpoint is the inference artifact: with
                 # EMA enabled it carries the averaged weights (standard
-                # diffusion practice); the raw weights stay in `state`
-                full = combine_params(
-                    state.ema_params if use_ema else state.params, frozen)
+                # diffusion practice); the raw weights stay in `state`.
+                # Under LoRA the adapter delta is baked into the UNet kernels
+                # here — the artifact loads anywhere a full fine-tune would.
+                from seervideoldm_tpu.training.lora import inference_params
+
+                full = inference_params(
+                    state.ema_params if use_ema else state.params, frozen,
+                    lscale)
                 ckpt.save(global_step, state,
                           params={"unet": full["unet"], "fstext": full["fstext"]})
                 if is_main_process():
@@ -411,8 +444,10 @@ def main() -> None:
         from seervideoldm_tpu.parallel.distributed import barrier_sync
 
         barrier_sync(f"save_final_{global_step}")
-        full = combine_params(
-            state.ema_params if use_ema else state.params, frozen)
+        from seervideoldm_tpu.training.lora import inference_params
+
+        full = inference_params(
+            state.ema_params if use_ema else state.params, frozen, lscale)
         ckpt.save(global_step, state,
                   params={"unet": full["unet"], "fstext": full["fstext"]})
         if is_main_process():
