@@ -50,6 +50,10 @@ def main() -> None:
                         help="Pyramid Attention Broadcast ranges (beyond "
                              "reference; headline protocol omits this). "
                              "Typical: --pab 2 6 4")
+    parser.add_argument("--tome", type=float, default=None, metavar="RATIO",
+                        help="Token Merging ratio for the high-res spatial "
+                             "self-attention (beyond reference; headline "
+                             "protocol omits this). Typical: --tome 0.5")
     args = parser.parse_args()
 
     from seervideoldm_tpu.diffusion.ddim import ddim_sample_loop
@@ -65,7 +69,15 @@ def main() -> None:
     f2 = f - f1
     b = args.batch
 
-    unet = SeerUNet(dtype=dtype)
+    unet_cfg = None
+    if args.tome:
+        import dataclasses
+
+        from seervideoldm_tpu.models.unet3d import SEER_UNET_SD15_CONFIG
+
+        unet_cfg = dataclasses.replace(SEER_UNET_SD15_CONFIG, tome_ratio=args.tome)
+    unet = SeerUNet(dtype=dtype) if unet_cfg is None else SeerUNet(
+        config=unet_cfg, dtype=dtype)
     fstext = FSTextTransformer(num_frames=f, dtype=dtype)
     vae = AutoencoderKL(dtype=dtype)
     rng = jax.random.PRNGKey(0)
@@ -211,6 +223,7 @@ def main() -> None:
             "resolution": args.resolution, "num_frames": f,
             "ddim_steps": args.ddim_steps, "sampler": args.sampler,
             "pab_ranges": args.pab,
+            "tome_ratio": args.tome,
             "e2e_clip_latency_s": round(dt_e2e, 4),
             "latents_only_latency_s": round(dt_lat, 4),
             "latents_only_frames_per_sec_per_chip": round(

@@ -97,6 +97,13 @@ class Config:
     pab_cross_range: int = 6
     pab_temporal_range: int = 4
     pab_window: list = field(default_factory=lambda: [0.1, 0.9])
+    # beyond reference: Token Merging (ToMeSD, arXiv 2303.17604) — merge
+    # tome_ratio of the spatial tokens around the spatial self-attention in
+    # high-resolution UNet blocks (>= tome_min_tokens spatial tokens).
+    # 0.0 = off (parity). Typical 0.5 — attacks the seq-4096 self-attention
+    # that dominates the 512px step.
+    tome_ratio: float = 0.0
+    tome_min_tokens: int = 1024
     # beyond reference: autoregressive long-video rollout — total FUTURE
     # frames to generate by rolling the num_frames window forward, feeding
     # the last cond_frames generated latents back as conditioning.
@@ -296,6 +303,14 @@ def validate(cfg: Config) -> Config:
             )
     if float(cfg.snr_gamma) < 0.0:
         raise ValueError(f"snr_gamma must be >= 0, got {cfg.snr_gamma!r}")
+    if not 0.0 <= float(cfg.tome_ratio) < 1.0:
+        raise ValueError(
+            f"tome_ratio must be in [0, 1), got {cfg.tome_ratio!r}"
+        )
+    if int(cfg.tome_min_tokens) < 4:
+        raise ValueError(
+            f"tome_min_tokens must be >= 4, got {cfg.tome_min_tokens!r}"
+        )
     if not 0.0 <= float(cfg.guidance_rescale) <= 1.0:
         raise ValueError(
             f"guidance_rescale must be in [0, 1], got {cfg.guidance_rescale!r}"

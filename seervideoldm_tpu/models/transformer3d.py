@@ -93,6 +93,13 @@ class BasicTextTransformerBlock3D(nn.Module):
     context_dim: Optional[int] = None
     collect_attn: bool = False  # sow cross-attn maps (reference return_attn)
     attention_slice: Optional[int] = None  # reference set_attention_slice
+    # Token Merging (ToMeSD, arXiv 2303.17604; ops/tome.py — beyond
+    # reference): merge tome_ratio*N redundant spatial tokens before the
+    # self-attention and unmerge after, when the block has at least
+    # tome_min_tokens spatial tokens.  0.0 = off (parity).
+    tome_ratio: float = 0.0
+    tome_min_tokens: int = 1024
+    tome_sd: int = 2
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -115,12 +122,28 @@ class BasicTextTransformerBlock3D(nn.Module):
             attention_slice=self.attention_slice, name="attn1", **kw
         )
         norm1 = LayerNorm(param_dtype=self.param_dtype, name="norm1")
+        merge = unmerge = None
+        if self.tome_ratio > 0.0 and h * w >= self.tome_min_tokens:
+            from ..ops.tome import bipartite_soft_matching_2d
+
+            # matching features are the block-input hidden states (pre-norm),
+            # as in ToMeSD; indices are data-dependent but all shapes static
+            merge, unmerge = bipartite_soft_matching_2d(
+                x, h, w, int(self.tome_ratio * h * w), sd=self.tome_sd
+            )
+
+        def self_attn(xin):
+            xn = norm1(xin)
+            if merge is None:
+                return attn1(xn)
+            return unmerge(attn1(merge(xn)))
+
         if pab is None:
-            x = attn1(norm1(x)) + x
+            x = self_attn(x) + x
         else:
             x_self = x
             x = _pab_residual(
-                self, "attn1_delta", pab[SPATIAL], lambda: attn1(norm1(x_self))
+                self, "attn1_delta", pab[SPATIAL], lambda: self_attn(x_self)
             ) + x
         if context is not None:
             d = context.shape[-1]
@@ -254,6 +277,9 @@ class SpatialTransformer3D(nn.Module):
     norm_num_groups: int = 32  # reference hardcodes 32 (attention.py:109)
     collect_attn: bool = False
     attention_slice: Optional[int] = None  # reference set_attention_slice
+    tome_ratio: float = 0.0  # ToMe spatial-token merging (ops/tome.py)
+    tome_min_tokens: int = 1024
+    tome_sd: int = 2
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -277,6 +303,8 @@ class SpatialTransformer3D(nn.Module):
                     inner_dim, self.n_heads, self.d_head,
                     context_dim=self.context_dim, collect_attn=self.collect_attn,
                     attention_slice=self.attention_slice,
+                    tome_ratio=self.tome_ratio,
+                    tome_min_tokens=self.tome_min_tokens, tome_sd=self.tome_sd,
                     name=f"transformer_blocks_{d}", **kw,
                 )(x, context=context, pab=pab)
             else:

@@ -56,6 +56,13 @@ class SeerUNetConfig:
     # compute spatial/text attention in `attention_slice`-head chunks.  A
     # construction-time config here (functional flax) instead of a mutator.
     attention_slice: Optional[int] = None
+    # Token Merging (ToMeSD, arXiv 2303.17604; ops/tome.py — beyond
+    # reference): merge tome_ratio*N redundant spatial tokens around the
+    # spatial self-attention in blocks with >= tome_min_tokens tokens.
+    # 0.0 = off (parity default).
+    tome_ratio: float = 0.0
+    tome_min_tokens: int = 1024
+    tome_sd: int = 2
 
 
 SEER_UNET_SD15_CONFIG = SeerUNetConfig()
@@ -162,6 +169,8 @@ class SeerUNet(nn.Module):
                     add_downsample=True, text_frame_condition=True, causal=True,
                     cond_frame=cond_frame, collect_attn=self.collect_attn,
                     attention_slice=cfg.attention_slice,
+                    tome_ratio=cfg.tome_ratio,
+                    tome_min_tokens=cfg.tome_min_tokens, tome_sd=cfg.tome_sd,
                     name=f"down_blocks_{i}", **kw,
                 )(sample, temb=emb, encoder_hidden_states=context, pab=pab)
                 sample = constrain(sample)
@@ -184,6 +193,8 @@ class SeerUNet(nn.Module):
             cross_attention_dim=cfg.cross_attention_dim,
             text_frame_condition=True, causal=True, cond_frame=cond_frame,
             collect_attn=self.collect_attn, attention_slice=cfg.attention_slice,
+            tome_ratio=cfg.tome_ratio,
+            tome_min_tokens=cfg.tome_min_tokens, tome_sd=cfg.tome_sd,
             name="mid_block", **kw,
 )(sample, temb=emb, encoder_hidden_states=context, pab=pab)
         sample = constrain(sample)
@@ -219,6 +230,8 @@ class SeerUNet(nn.Module):
                     add_upsample=not is_final, text_frame_condition=True, causal=True,
                     cond_frame=cond_frame, collect_attn=self.collect_attn,
                     attention_slice=cfg.attention_slice,
+                    tome_ratio=cfg.tome_ratio,
+                    tome_min_tokens=cfg.tome_min_tokens, tome_sd=cfg.tome_sd,
                     name=f"up_blocks_{i}", **kw,
                 )(sample, res_samples, temb=emb, encoder_hidden_states=context, pab=pab)
                 sample = constrain(sample)

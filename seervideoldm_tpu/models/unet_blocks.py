@@ -38,6 +38,9 @@ class CrossAttnDownBlock3D(nn.Module):
     cond_frame: int = 0
     collect_attn: bool = False
     attention_slice: Optional[int] = None  # reference set_attention_slice
+    tome_ratio: float = 0.0  # ToMe spatial-token merging (ops/tome.py)
+    tome_min_tokens: int = 1024
+    tome_sd: int = 2
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -60,6 +63,8 @@ class CrossAttnDownBlock3D(nn.Module):
                 norm_num_groups=self.resnet_groups,
                 collect_attn=self.collect_attn,
                 attention_slice=self.attention_slice,
+                tome_ratio=self.tome_ratio,
+                tome_min_tokens=self.tome_min_tokens, tome_sd=self.tome_sd,
                 name=f"attentions_{i}", **kw,
             )(hidden_states, context=encoder_hidden_states, pab=pab)
             hidden_states = SpatialTransformer3D(
@@ -124,6 +129,9 @@ class UNetMidBlock3DCrossAttn(nn.Module):
     cond_frame: int = 0
     collect_attn: bool = False
     attention_slice: Optional[int] = None  # reference set_attention_slice
+    tome_ratio: float = 0.0  # ToMe spatial-token merging (ops/tome.py)
+    tome_min_tokens: int = 1024
+    tome_sd: int = 2
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -145,6 +153,8 @@ class UNetMidBlock3DCrossAttn(nn.Module):
                 norm_num_groups=self.resnet_groups,
                 collect_attn=self.collect_attn,
                 attention_slice=self.attention_slice,
+                tome_ratio=self.tome_ratio,
+                tome_min_tokens=self.tome_min_tokens, tome_sd=self.tome_sd,
                 name=f"attentions_{i}", **kw,
             )(hidden_states, context=encoder_hidden_states, pab=pab)
             hidden_states = SpatialTransformer3D(
@@ -175,6 +185,9 @@ class CrossAttnUpBlock3D(nn.Module):
     cond_frame: int = 0
     collect_attn: bool = False
     attention_slice: Optional[int] = None  # reference set_attention_slice
+    tome_ratio: float = 0.0  # ToMe spatial-token merging (ops/tome.py)
+    tome_min_tokens: int = 1024
+    tome_sd: int = 2
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -205,6 +218,8 @@ class CrossAttnUpBlock3D(nn.Module):
                 norm_num_groups=self.resnet_groups,
                 collect_attn=self.collect_attn,
                 attention_slice=self.attention_slice,
+                tome_ratio=self.tome_ratio,
+                tome_min_tokens=self.tome_min_tokens, tome_sd=self.tome_sd,
                 name=f"attentions_{i}", **kw,
             )(hidden_states, context=encoder_hidden_states, pab=pab)
             hidden_states = SpatialTransformer3D(

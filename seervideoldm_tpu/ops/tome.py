@@ -1,0 +1,123 @@
+"""Token Merging for the spatial self-attention (ToMeSD; beyond reference).
+
+Bolya & Hoffman, "Token Merging for Fast Stable Diffusion" (arXiv
+2303.17604): inside each high-resolution transformer block, redundant
+spatial tokens are merged via bipartite soft matching before the
+self-attention and unmerged after it — training-free, quality-preserving at
+moderate ratios, and it attacks exactly the shape that pins our 512px
+headline number (seq-4096 d_head-40 spatial self-attention, the largest
+line in the STATUS block profile).
+
+The reference has no equivalent; its only sequence-cost levers are SWAT
+windows and attention slicing (``seer/models/attention.py:586-620``).
+
+TPU notes:
+
+- every shape is static: the merge count ``r`` is fixed at trace time, the
+  dst/src partition is a compile-time constant, and only the *indices* of
+  the merged tokens are data-dependent (top-r by best-match similarity) —
+  so the whole thing jits into gathers/scatters around a smaller attention;
+- the dst set is one token per ``sd x sd`` spatial cell with a
+  *deterministic* seeded offset per cell (ToMeSD re-randomizes per call;
+  determinism keeps our samplers reproducible and the choice is
+  quality-equivalent in their ablations to within noise);
+- the similarity matmul runs over the full channel dim (contraction 320+),
+  so unlike the d_head-40 attention it tiles the MXU efficiently.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _dst_src_indices(h: int, w: int, sd: int, seed: int = 0):
+    """Static dst/src token partition: one dst per ``sd x sd`` cell.
+
+    Deterministic per-(h, w) seeded offsets; returns numpy int32 arrays.
+    Falls back to a flat stride when the grid doesn't tile evenly.
+    """
+    n = h * w
+    if h % sd == 0 and w % sd == 0:
+        rng = np.random.RandomState(seed ^ (h * 73856093) ^ (w * 19349663))
+        hs, ws = h // sd, w // sd
+        di = rng.randint(0, sd, size=(hs, ws))
+        dj = rng.randint(0, sd, size=(hs, ws))
+        rows = np.arange(hs)[:, None] * sd + di
+        cols = np.arange(ws)[None, :] * sd + dj
+        dst = (rows * w + cols).reshape(-1)
+    else:
+        dst = np.arange(0, n, sd * sd)
+    mask = np.zeros(n, dtype=bool)
+    mask[dst] = True
+    src = np.nonzero(~mask)[0]
+    return dst.astype(np.int32), src.astype(np.int32)
+
+
+def bipartite_soft_matching_2d(
+    metric: jnp.ndarray,
+    h: int,
+    w: int,
+    r: int,
+    sd: int = 2,
+) -> Tuple[Optional[Callable], Optional[Callable]]:
+    """Build (merge, unmerge) closures from token features.
+
+    ``metric``: (B, N, C) block-input hidden states, N == h*w.  ``r`` tokens
+    (capped to the src-set size) are merged into their most-similar dst
+    token by cosine similarity.  ``merge(x)`` maps (B, N, C') -> (B, N-r, C')
+    with merged dst rows averaged (ToMeSD ``mode="mean"``, dst included);
+    ``unmerge(y)`` maps back to (B, N, C'), merged src positions receiving
+    their dst row.  Returns (None, None) when r <= 0.
+    """
+    b, n, _ = metric.shape
+    assert n == h * w, f"metric has {n} tokens, expected h*w={h * w}"
+    dst_np, src_np = _dst_src_indices(h, w, sd)
+    n_dst, n_src = len(dst_np), len(src_np)
+    r = min(int(r), n_src)
+    if r <= 0:
+        return None, None
+    dst_idx = jnp.asarray(dst_np)
+    src_idx = jnp.asarray(src_np)
+
+    mn = metric.astype(jnp.float32)
+    mn = mn / (jnp.linalg.norm(mn, axis=-1, keepdims=True) + 1e-6)
+    a = jnp.take(mn, src_idx, axis=1)  # (B, n_src, C)
+    bm = jnp.take(mn, dst_idx, axis=1)  # (B, n_dst, C)
+    scores = jnp.einsum("bic,bjc->bij", a, bm)
+    node_max = scores.max(axis=-1)  # (B, n_src)
+    node_idx = scores.argmax(axis=-1).astype(jnp.int32)  # matched dst per src
+    order = jnp.argsort(-node_max, axis=-1).astype(jnp.int32)
+    merge_sel = order[:, :r]  # src-set coords of the r merged tokens
+    unm_sel = order[:, r:]  # src-set coords of kept tokens
+    dst_of_merged = jnp.take_along_axis(node_idx, merge_sel, axis=1)  # (B, r)
+
+    def merge(x: jnp.ndarray) -> jnp.ndarray:
+        xs = jnp.take(x, src_idx, axis=1)
+        xd = jnp.take(x, dst_idx, axis=1)
+        unm = jnp.take_along_axis(xs, unm_sel[..., None], axis=1)
+        src_m = jnp.take_along_axis(xs, merge_sel[..., None], axis=1)
+        # mean over {dst} ∪ {merged srcs}: accumulate in fp32 for stability
+        summed = jax.vmap(lambda d, i, s: d.at[i].add(s))(
+            xd.astype(jnp.float32), dst_of_merged, src_m.astype(jnp.float32)
+        )
+        counts = jax.vmap(
+            lambda i: jnp.ones((n_dst,), jnp.float32).at[i].add(1.0)
+        )(dst_of_merged)
+        xd = (summed / counts[..., None]).astype(x.dtype)
+        return jnp.concatenate([unm, xd], axis=1)  # (B, n_src - r + n_dst, C)
+
+    def unmerge(y: jnp.ndarray) -> jnp.ndarray:
+        unm, xd = y[:, : n_src - r], y[:, n_src - r :]
+        merged_vals = jnp.take_along_axis(xd, dst_of_merged[..., None], axis=1)
+        out = jnp.zeros((y.shape[0], n, y.shape[-1]), y.dtype)
+        out = out.at[:, dst_idx].set(xd)
+        pos_unm = jnp.take(src_idx, unm_sel)  # (B, n_src - r)
+        pos_m = jnp.take(src_idx, merge_sel)  # (B, r)
+        out = jax.vmap(lambda o, i, v: o.at[i].set(v))(out, pos_unm, unm)
+        out = jax.vmap(lambda o, i, v: o.at[i].set(v))(out, pos_m, merged_vals)
+        return out
+
+    return merge, unmerge

@@ -113,6 +113,18 @@ def load_models(cfg: Config, rng: jax.Array, latent_size: Optional[int] = None,
     unet_config = _cfg(SeerUNetConfig, "unet")
     vae_config = _cfg(VAEConfig, "vae")
     clip_config = _cfg(CLIPTextConfig, "clip")
+    if float(cfg.get("tome_ratio") or 0.0) > 0.0:
+        # Token Merging (ops/tome.py): a YAML accel knob like pab, injected
+        # into the UNet construction config (model_overrides wins if it
+        # already sets tome_ratio explicitly)
+        import dataclasses as _dc
+
+        base = unet_config or SeerUNetConfig()
+        if base.tome_ratio == 0.0:
+            unet_config = _dc.replace(
+                base, tome_ratio=float(cfg.tome_ratio),
+                tome_min_tokens=int(cfg.get("tome_min_tokens") or 1024),
+            )
     n_vae_blocks = len(vae_config.block_out_channels) if vae_config else 4
     vae_scale = 2 ** (n_vae_blocks - 1)
     models = SeerModels.initialize(
