@@ -41,7 +41,9 @@ def _dst_src_indices(h: int, w: int, sd: int, seed: int = 0):
     """
     n = h * w
     if h % sd == 0 and w % sd == 0:
-        rng = np.random.RandomState(seed ^ (h * 73856093) ^ (w * 19349663))
+        # mask to 32 bits: RandomState rejects seeds >= 2**32 (h=64 overflows)
+        rng = np.random.RandomState(
+            (seed ^ (h * 73856093) ^ (w * 19349663)) & 0xFFFFFFFF)
         hs, ws = h // sd, w // sd
         di = rng.randint(0, sd, size=(hs, ws))
         dj = rng.randint(0, sd, size=(hs, ws))

@@ -25,6 +25,11 @@ def test_dst_src_partition_is_exact():
     # deterministic: the partition is a compile-time constant
     dst2, _ = _dst_src_indices(h, w, sd)
     np.testing.assert_array_equal(dst, dst2)
+    # regression: production latent grids (h=64 overflowed the 32-bit
+    # RandomState seed) must build
+    for hw in (64, 32, 16):
+        d, s = _dst_src_indices(hw, hw, 2)
+        assert len(d) + len(s) == hw * hw
 
 
 def test_merge_shapes_and_r_cap():
