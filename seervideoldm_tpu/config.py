@@ -104,6 +104,11 @@ class Config:
     # that dominates the 512px step.
     tome_ratio: float = 0.0
     tome_min_tokens: int = 1024
+    # beyond reference: FreeU (arXiv 2309.11497) — training-free
+    # [b1, b2, s1, s2] backbone-amplify / skip-lowpass reweighting at the
+    # two deepest up-block stages.  null = off (parity).  SD-1.5 recipe:
+    # [1.5, 1.6, 0.9, 0.2].
+    freeu: Optional[list] = None
     # beyond reference: autoregressive long-video rollout — total FUTURE
     # frames to generate by rolling the num_frames window forward, feeding
     # the last cond_frames generated latents back as conditioning.
@@ -310,6 +315,13 @@ def validate(cfg: Config) -> Config:
     if int(cfg.tome_min_tokens) < 4:
         raise ValueError(
             f"tome_min_tokens must be >= 4, got {cfg.tome_min_tokens!r}"
+        )
+    fu = cfg.get("freeu")
+    if fu is not None and (
+        len(fu) != 4 or not all(isinstance(v, (int, float)) and v > 0 for v in fu)
+    ):
+        raise ValueError(
+            f"freeu must be [b1, b2, s1, s2] with positive floats, got {fu!r}"
         )
     if not 0.0 <= float(cfg.guidance_rescale) <= 1.0:
         raise ValueError(

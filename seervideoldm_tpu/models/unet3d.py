@@ -63,6 +63,11 @@ class SeerUNetConfig:
     tome_ratio: float = 0.0
     tome_min_tokens: int = 1024
     tome_sd: int = 2
+    # FreeU (arXiv 2309.11497; ops/freeu.py — beyond reference): training-
+    # free (b1, b2, s1, s2) backbone/skip reweighting at the two deepest
+    # up-block stages.  None = off (parity).  SD-1.5 recipe: (1.5, 1.6,
+    # 0.9, 0.2).
+    freeu: Optional[Sequence[float]] = None
 
 
 SEER_UNET_SD15_CONFIG = SeerUNetConfig()
@@ -210,12 +215,20 @@ class SeerUNet(nn.Module):
             num_layers = cfg.layers_per_block + 1
             res_samples = down_block_res[-num_layers:]
             down_block_res = down_block_res[:-num_layers]
+            # FreeU engages at the two deepest up stages (resolution_idx
+            # 0 and 1 in the published recipe): (b1, s1) then (b2, s2)
+            freeu_stage = None
+            if cfg.freeu is not None and i < 2:
+                b1, b2, s1, s2 = cfg.freeu
+                freeu_stage = (float(b1), float(s1)) if i == 0 else (
+                    float(b2), float(s2))
             if i == 0:
                 sample = maybe_remat(UpBlock3D)(
                     in_channels=input_channel, prev_output_channel=prev_output_channel,
                     out_channels=output_channel, temb_channels=time_embed_dim,
                     num_layers=num_layers, resnet_eps=cfg.norm_eps,
                     resnet_groups=cfg.norm_num_groups, add_upsample=not is_final,
+                    freeu=freeu_stage,
                     name=f"up_blocks_{i}", **kw,
                 )(sample, res_samples, temb=emb)
                 sample = constrain(sample)
@@ -232,6 +245,7 @@ class SeerUNet(nn.Module):
                     attention_slice=cfg.attention_slice,
                     tome_ratio=cfg.tome_ratio,
                     tome_min_tokens=cfg.tome_min_tokens, tome_sd=cfg.tome_sd,
+                    freeu=freeu_stage,
                     name=f"up_blocks_{i}", **kw,
                 )(sample, res_samples, temb=emb, encoder_hidden_states=context, pab=pab)
                 sample = constrain(sample)

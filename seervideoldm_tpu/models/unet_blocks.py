@@ -188,6 +188,8 @@ class CrossAttnUpBlock3D(nn.Module):
     tome_ratio: float = 0.0  # ToMe spatial-token merging (ops/tome.py)
     tome_min_tokens: int = 1024
     tome_sd: int = 2
+    # FreeU (b, s) for this stage (ops/freeu.py); None = off (parity)
+    freeu: Optional[tuple] = None
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -205,6 +207,11 @@ class CrossAttnUpBlock3D(nn.Module):
             resnet_in_channels = self.prev_output_channel if i == 0 else self.out_channels
             res_hidden = res_hidden_states_tuple[-1]
             res_hidden_states_tuple = res_hidden_states_tuple[:-1]
+            if self.freeu is not None:
+                from ..ops.freeu import apply_freeu
+
+                hidden_states, res_hidden = apply_freeu(
+                    hidden_states, res_hidden, *self.freeu)
             hidden_states = jnp.concatenate([hidden_states, res_hidden], axis=-1)
             hidden_states = ResnetBlock3D(
                 in_channels=resnet_in_channels + res_skip_channels,
@@ -244,6 +251,8 @@ class UpBlock3D(nn.Module):
     resnet_eps: float = 1e-6
     resnet_groups: int = 32
     add_upsample: bool = True
+    # FreeU (b, s) for this stage (ops/freeu.py); None = off (parity)
+    freeu: Optional[tuple] = None
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -257,6 +266,11 @@ class UpBlock3D(nn.Module):
             resnet_in_channels = self.prev_output_channel if i == 0 else self.out_channels
             res_hidden = res_hidden_states_tuple[-1]
             res_hidden_states_tuple = res_hidden_states_tuple[:-1]
+            if self.freeu is not None:
+                from ..ops.freeu import apply_freeu
+
+                hidden_states, res_hidden = apply_freeu(
+                    hidden_states, res_hidden, *self.freeu)
             hidden_states = jnp.concatenate([hidden_states, res_hidden], axis=-1)
             hidden_states = ResnetBlock3D(
                 in_channels=resnet_in_channels + res_skip_channels,

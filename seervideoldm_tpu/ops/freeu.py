@@ -5,7 +5,7 @@ two deepest up-block stages, amplify the backbone features (first half of
 the channels, factor ``b``) and damp the low-frequency band of the skip
 features (Fourier mask, factor ``s``) before the skip-concat.  Improves
 sample quality at zero training and ~zero cost (the FFT runs on 8x8/16x16
-lat茂ents).  Published SD-1.5 recipe: b1=1.5, b2=1.6, s1=0.9, s2=0.2.
+latents).  Published SD-1.5 recipe: b1=1.5, b2=1.6, s1=0.9, s2=0.2.
 
 The reference has no equivalent; this is an opt-in sampling-time knob
 (``freeu: [b1, b2, s1, s2]`` in any sampling YAML), off by default (parity).

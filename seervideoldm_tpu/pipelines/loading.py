@@ -125,6 +125,14 @@ def load_models(cfg: Config, rng: jax.Array, latent_size: Optional[int] = None,
                 base, tome_ratio=float(cfg.tome_ratio),
                 tome_min_tokens=int(cfg.get("tome_min_tokens") or 1024),
             )
+    if cfg.get("freeu") is not None:
+        # FreeU (ops/freeu.py): same YAML-knob injection pattern
+        import dataclasses as _dc
+
+        base = unet_config or SeerUNetConfig()
+        if base.freeu is None:
+            unet_config = _dc.replace(
+                base, freeu=tuple(float(v) for v in cfg.freeu))
     n_vae_blocks = len(vae_config.block_out_channels) if vae_config else 4
     vae_scale = 2 ** (n_vae_blocks - 1)
     models = SeerModels.initialize(
