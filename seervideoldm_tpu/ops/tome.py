@@ -86,9 +86,14 @@ def bipartite_soft_matching_2d(
 
     mn = metric.astype(jnp.float32)
     mn = mn / (jnp.linalg.norm(mn, axis=-1, keepdims=True) + 1e-6)
+    # bf16 matmul with fp32 accumulation: an fp32xfp32 einsum here would run
+    # the MXU at 1/8 throughput and eat the attention win (similarity
+    # ranking is insensitive to bf16 inputs at these magnitudes)
+    mn = mn.astype(jnp.bfloat16)
     a = jnp.take(mn, src_idx, axis=1)  # (B, n_src, C)
     bm = jnp.take(mn, dst_idx, axis=1)  # (B, n_dst, C)
-    scores = jnp.einsum("bic,bjc->bij", a, bm)
+    scores = jnp.einsum("bic,bjc->bij", a, bm,
+                        preferred_element_type=jnp.float32)
     node_max = scores.max(axis=-1)  # (B, n_src)
     node_idx = scores.argmax(axis=-1).astype(jnp.int32)  # matched dst per src
     order = jnp.argsort(-node_max, axis=-1).astype(jnp.int32)
