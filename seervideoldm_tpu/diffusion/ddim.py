@@ -374,9 +374,15 @@ def ddim_decode_loop(
     t_start: int,
     uncond_context: Optional[jnp.ndarray] = None,
     guidance_scale: float = 1.0,
+    **kwargs,
 ) -> jnp.ndarray:
     """Decode from an intermediate step (reference ``ddim_video.py:256-275``):
-    run only the last ``t_start`` reverse steps of the subsequence."""
+    run only the last ``t_start`` reverse steps of the subsequence.
+
+    Extra kwargs (``x0_emb``, ``cond_frame``, ``guidance_interval``, ...)
+    pass through to :func:`ddim_sample_loop` — the SDEdit-style video-editing
+    path needs the cond-frame concat mechanics the reference's unused
+    ``decode`` never had."""
     num = tables.timesteps.shape[0]
     sliced = DDIMTables(
         timesteps=tables.timesteps[num - t_start :],
@@ -388,4 +394,5 @@ def ddim_decode_loop(
     return ddim_sample_loop(
         unet_apply, x_latent, sliced, context,
         uncond_context=uncond_context, guidance_scale=guidance_scale,
+        **kwargs,
     )

@@ -101,30 +101,49 @@ def bipartite_soft_matching_2d(
     unm_sel = order[:, r:]  # src-set coords of kept tokens
     dst_of_merged = jnp.take_along_axis(node_idx, merge_sel, axis=1)  # (B, r)
 
+    n_unm = n_src - r
+    # TPU cost note (tools/microbench_tome.py): batched row gathers/scatters
+    # of (B, thousands, C) tensors run ~10x off bandwidth — a naive
+    # take_along_axis/at[].set implementation cost 9.75 ms at the 512px-L0
+    # shape, erasing the attention win.  So: ONE sorted-row gather in merge,
+    # the segment-mean as a one-hot matmul on the MXU, and unmerge as an
+    # int32 index build (4 bytes/row to scatter instead of C floats)
+    # followed by ONE row gather.
+    dst_onehot = None  # built lazily; shared across merge calls per site
+
     def merge(x: jnp.ndarray) -> jnp.ndarray:
+        nonlocal dst_onehot
         xs = jnp.take(x, src_idx, axis=1)
         xd = jnp.take(x, dst_idx, axis=1)
-        unm = jnp.take_along_axis(xs, unm_sel[..., None], axis=1)
-        src_m = jnp.take_along_axis(xs, merge_sel[..., None], axis=1)
-        # mean over {dst} ∪ {merged srcs}: accumulate in fp32 for stability
-        summed = jax.vmap(lambda d, i, s: d.at[i].add(s))(
-            xd.astype(jnp.float32), dst_of_merged, src_m.astype(jnp.float32)
+        sorted_src = jnp.take_along_axis(xs, order[..., None], axis=1)
+        src_m, unm = sorted_src[:, :r], sorted_src[:, r:]
+        if dst_onehot is None:
+            dst_onehot = (
+                dst_of_merged[..., None] == jnp.arange(n_dst)[None, None, :]
+            )
+        oh = dst_onehot.astype(src_m.dtype)
+        summed = xd.astype(jnp.float32) + jnp.einsum(
+            "brd,brc->bdc", oh, src_m, preferred_element_type=jnp.float32
         )
-        counts = jax.vmap(
-            lambda i: jnp.ones((n_dst,), jnp.float32).at[i].add(1.0)
-        )(dst_of_merged)
+        counts = 1.0 + jnp.sum(dst_onehot, axis=1).astype(jnp.float32)
         xd = (summed / counts[..., None]).astype(x.dtype)
-        return jnp.concatenate([unm, xd], axis=1)  # (B, n_src - r + n_dst, C)
+        return jnp.concatenate([unm, xd], axis=1)  # (B, n_unm + n_dst, C)
 
     def unmerge(y: jnp.ndarray) -> jnp.ndarray:
-        unm, xd = y[:, : n_src - r], y[:, n_src - r :]
-        merged_vals = jnp.take_along_axis(xd, dst_of_merged[..., None], axis=1)
-        out = jnp.zeros((y.shape[0], n, y.shape[-1]), y.dtype)
-        out = out.at[:, dst_idx].set(xd)
-        pos_unm = jnp.take(src_idx, unm_sel)  # (B, n_src - r)
+        # inv[p] = row of y that original position p reads from
+        inv = jnp.zeros((b, n), jnp.int32)
+        inv = inv.at[:, dst_idx].set(
+            jnp.arange(n_unm, n_unm + n_dst, dtype=jnp.int32)[None]
+        )
+        pos_unm = jnp.take(src_idx, unm_sel)  # (B, n_unm)
         pos_m = jnp.take(src_idx, merge_sel)  # (B, r)
-        out = jax.vmap(lambda o, i, v: o.at[i].set(v))(out, pos_unm, unm)
-        out = jax.vmap(lambda o, i, v: o.at[i].set(v))(out, pos_m, merged_vals)
-        return out
+        unm_rows = jnp.broadcast_to(
+            jnp.arange(n_unm, dtype=jnp.int32)[None], (b, n_unm)
+        )
+        inv = jax.vmap(lambda o, i, v: o.at[i].set(v))(inv, pos_unm, unm_rows)
+        inv = jax.vmap(lambda o, i, v: o.at[i].set(v))(
+            inv, pos_m, n_unm + dst_of_merged
+        )
+        return jnp.take_along_axis(y, inv[..., None], axis=1)
 
     return merge, unmerge

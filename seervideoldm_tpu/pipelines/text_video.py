@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..diffusion.ddim import ddim_sample_loop
+from ..diffusion.ddim import ddim_decode_loop, ddim_sample_loop, stochastic_encode
 from ..diffusion.schedules import DiffusionSchedule
 from ..models.clip_text import CLIPTextModel
 from ..models.fstext import FSTextTransformer
@@ -268,6 +268,93 @@ class SeerPipeline:
         if not use_cfg:
             uncond_context = context  # placeholder, unused
         return fn(self.m.unet_params, x_T, x0_emb, context, uncond_context)
+
+    # --- SDEdit-style video editing (beyond reference) ---
+    @functools.lru_cache(maxsize=8)
+    def _edit_fn(self, ddim_steps: int, t_enc: int, guidance_scale: float,
+                 cond_frame: int, use_cfg: bool,
+                 prediction_type: str = "epsilon",
+                 timestep_spacing: str = "uniform",
+                 guidance_rescale: float = 0.0):
+        tables = self.schedule.ddim_tables(ddim_steps, eta=0.0,
+                                           discr_method=timestep_spacing)
+
+        def fn(unet_params, x0_future, x0_emb, context, uncond_context, rng):
+            def unet_apply(x, t, ctx, cf):
+                return self.m.unet.apply({"params": unet_params}, x, t, ctx, cf)
+
+            noise = jax.random.normal(rng, x0_future.shape, x0_future.dtype)
+            # reference convention (CompVis img2img): encode at forward index
+            # t_enc, decode the last t_enc reverse steps.  jnp.take clamps,
+            # so t_enc == num (strength 1.0) encodes at the noisiest step
+            # instead of crashing like the torch original.
+            x = stochastic_encode(tables, x0_future, jnp.asarray(t_enc), noise)
+            return ddim_decode_loop(
+                unet_apply, x, tables, context, t_enc,
+                uncond_context=uncond_context if use_cfg else None,
+                guidance_scale=guidance_scale if use_cfg else 1.0,
+                x0_emb=x0_emb, cond_frame=cond_frame,
+                prediction_type=prediction_type,
+                guidance_rescale=guidance_rescale if use_cfg else 0.0,
+            )
+
+        return jax.jit(fn)
+
+    def edit(
+        self,
+        video: jnp.ndarray,
+        input_ids: np.ndarray,
+        attention_mask: np.ndarray,
+        uncond_ids: np.ndarray,
+        uncond_mask: np.ndarray,
+        cond_frames: int,
+        edit_strength: float,
+        rng: jax.Array,
+        ddim_steps: int = 30,
+        guidance_scale: float = 7.5,
+        cond_frame: int = 0,
+        prediction_type: str = "epsilon",
+        timestep_spacing: str = "uniform",
+        guidance_rescale: float = 0.0,
+    ) -> jnp.ndarray:
+        """SDEdit-style video editing (beyond reference; Meng et al. 2022,
+        arXiv 2108.01073): re-noise the future-frame latents of a REAL input
+        clip to ``edit_strength`` of the trajectory and denoise under a new
+        instruction — the machinery the reference ships but never wires
+        (``ddim_video.py:240-275`` ``stochastic_encode``/``decode``).
+
+        ``video``: (b, f, h, w, 3) in [-1, 1], full clip including the
+        ``cond_frames`` reference frames (kept clean, concatenated at every
+        step exactly like generation).  ``edit_strength`` in [0, 1]: 0
+        returns the input unchanged, 1 ~= full regeneration.  Returns
+        decoded future frames (b, f - cond_frames, h, w, 3) in [0, 1].
+        """
+        if not 0.0 <= edit_strength <= 1.0:
+            raise ValueError(f"edit_strength must be in [0, 1], got {edit_strength}")
+        b, f = video.shape[:2]
+        f1 = cond_frames
+        video = self._shard(video)
+        k_enc, k_noise = jax.random.split(rng)
+        latents = self.vae_encode_video(video, k_enc)
+        x0_emb, x0_future = latents[:, :f1], latents[:, f1:]
+        clip_emb = self.encode_text(input_ids, attention_mask)
+        context = self.fstext(clip_emb)
+        uncond_emb = self.encode_text(uncond_ids, uncond_mask)
+        uncond_context = jnp.broadcast_to(
+            uncond_emb[:, None], (b, context.shape[1], *uncond_emb.shape[1:])
+        )
+        tables = self.schedule.ddim_tables(ddim_steps, eta=0.0,
+                                           discr_method=timestep_spacing)
+        t_enc = int(round(edit_strength * len(tables.timesteps)))
+        if t_enc == 0:
+            return self.vae_decode_video(x0_future)
+        use_cfg = guidance_scale != 1.0
+        fn = self._edit_fn(ddim_steps, t_enc, float(guidance_scale),
+                           int(cond_frame), use_cfg, prediction_type,
+                           timestep_spacing, float(guidance_rescale))
+        edited = fn(self.m.unet_params, x0_future, x0_emb, context,
+                    uncond_context, k_noise)
+        return self.vae_decode_video(edited)
 
     def generate(
         self,
