@@ -316,12 +316,14 @@ def validate(cfg: Config) -> Config:
         raise ValueError(
             f"tome_min_tokens must be >= 4, got {cfg.tome_min_tokens!r}"
         )
-    fu = cfg.get("freeu")
+    fu = cfg.freeu
     if fu is not None and (
-        len(fu) != 4 or not all(isinstance(v, (int, float)) and v > 0 for v in fu)
+        len(fu) != 4
+        or not all(isinstance(v, (int, float)) and not isinstance(v, bool)
+                   and 0 < v <= 10 for v in fu)
     ):
         raise ValueError(
-            f"freeu must be [b1, b2, s1, s2] with positive floats, got {fu!r}"
+            f"freeu must be [b1, b2, s1, s2] with floats in (0, 10], got {fu!r}"
         )
     if not 0.0 <= float(cfg.guidance_rescale) <= 1.0:
         raise ValueError(

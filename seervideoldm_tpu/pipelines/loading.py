@@ -113,26 +113,28 @@ def load_models(cfg: Config, rng: jax.Array, latent_size: Optional[int] = None,
     unet_config = _cfg(SeerUNetConfig, "unet")
     vae_config = _cfg(VAEConfig, "vae")
     clip_config = _cfg(CLIPTextConfig, "clip")
-    if float(cfg.get("tome_ratio") or 0.0) > 0.0:
-        # Token Merging (ops/tome.py): a YAML accel knob like pab, injected
-        # into the UNet construction config (model_overrides wins if it
-        # already sets tome_ratio explicitly)
+    # Accel-knob injection (ToMe / FreeU): the top-level YAML knob is
+    # injected into the UNet construction config UNLESS model_overrides.unet
+    # set the same key explicitly — presence in the override dict decides
+    # (an explicit `tome_ratio: 0.0` override disables, it is not mistaken
+    # for the dataclass default).
+    unet_overrides = overrides.get("unet") or {}
+    if (float(cfg.get("tome_ratio") or 0.0) > 0.0
+            and "tome_ratio" not in unet_overrides):
         import dataclasses as _dc
 
         base = unet_config or SeerUNetConfig()
-        if base.tome_ratio == 0.0:
-            unet_config = _dc.replace(
-                base, tome_ratio=float(cfg.tome_ratio),
-                tome_min_tokens=int(cfg.get("tome_min_tokens") or 1024),
-            )
-    if cfg.get("freeu") is not None:
-        # FreeU (ops/freeu.py): same YAML-knob injection pattern
+        tome_min = (base.tome_min_tokens
+                    if "tome_min_tokens" in unet_overrides
+                    else int(cfg.get("tome_min_tokens") or 1024))
+        unet_config = _dc.replace(
+            base, tome_ratio=float(cfg.tome_ratio), tome_min_tokens=tome_min)
+    if cfg.get("freeu") is not None and "freeu" not in unet_overrides:
         import dataclasses as _dc
 
         base = unet_config or SeerUNetConfig()
-        if base.freeu is None:
-            unet_config = _dc.replace(
-                base, freeu=tuple(float(v) for v in cfg.freeu))
+        unet_config = _dc.replace(
+            base, freeu=tuple(float(v) for v in cfg.freeu))
     n_vae_blocks = len(vae_config.block_out_channels) if vae_config else 4
     vae_scale = 2 ** (n_vae_blocks - 1)
     models = SeerModels.initialize(

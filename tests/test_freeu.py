@@ -102,3 +102,18 @@ def test_config_validation_and_injection():
     cfg.num_frames = 2
     models, _ = load_models(cfg, jax.random.PRNGKey(0))
     assert models.unet.config.freeu == (1.5, 1.6, 0.9, 0.2)
+
+    # explicit freeu: None in model_overrides.unet disables injection
+    cfg.model_overrides["unet"]["freeu"] = None
+    models, _ = load_models(cfg, jax.random.PRNGKey(0))
+    assert models.unet.config.freeu is None
+
+    # bool sneaking through as 1 is rejected by validation
+    from seervideoldm_tpu.config import validate as _validate
+    cfg2 = Config()
+    cfg2.freeu = [True, 1.6, 0.9, 0.2]
+    with pytest.raises(ValueError, match="freeu"):
+        _validate(cfg2)
+    cfg2.freeu = [1.5, 1.6, 0.9, 1e6]
+    with pytest.raises(ValueError, match="freeu"):
+        _validate(cfg2)

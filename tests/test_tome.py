@@ -212,3 +212,16 @@ def test_load_models_injects_tome(tmp_path):
     models, _ = load_models(cfg, jax.random.PRNGKey(0))
     assert models.unet.config.tome_ratio == 0.25
     assert models.unet.config.tome_min_tokens == 256
+
+    # an EXPLICIT tome_ratio: 0.0 in model_overrides.unet disables injection
+    # (presence in the override dict wins, not the resolved value)
+    cfg.model_overrides["unet"]["tome_ratio"] = 0.0
+    models, _ = load_models(cfg, jax.random.PRNGKey(0))
+    assert models.unet.config.tome_ratio == 0.0
+
+    # a non-zero override keeps ITS OWN min_tokens, not the top-level knob
+    cfg.model_overrides["unet"]["tome_ratio"] = 0.5
+    cfg.model_overrides["unet"]["tome_min_tokens"] = 64
+    models, _ = load_models(cfg, jax.random.PRNGKey(0))
+    assert models.unet.config.tome_ratio == 0.5
+    assert models.unet.config.tome_min_tokens == 64
