@@ -361,7 +361,10 @@ def stochastic_encode(
     at 0), matching the reference's use of the un-reversed tables.
     """
     alphas_fwd = jnp.asarray(tables.alphas)[::-1]  # forward order
-    a = jnp.take(alphas_fwd, step_index)
+    # mode='clip': jnp.take's default out-of-bounds mode fills with NaN, so
+    # step_index == num (edit_strength 1.0) must clamp to the noisiest step
+    # instead (the torch original would crash on this index).
+    a = jnp.take(alphas_fwd, step_index, mode="clip")
     a = a.reshape(a.shape + (1,) * (x0.ndim - a.ndim))
     return jnp.sqrt(a) * x0 + jnp.sqrt(1.0 - a) * noise
 

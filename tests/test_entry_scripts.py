@@ -105,6 +105,27 @@ def test_inference_img_script(tmp_path):
 
 
 @pytest.mark.slow
+def test_edit_script(tmp_path):
+    out_dir = str(tmp_path / "out")
+    gif_path = str(tmp_path / "input.gif")
+    rng = np.random.RandomState(2)
+    frames = [Image.fromarray(rng.randint(0, 255, (24, 24, 3), dtype=np.uint8))
+              for _ in range(4)]
+    frames[0].save(gif_path, save_all=True, append_images=frames[1:])
+    cfg = {
+        "output_dir": out_dir, "resolution": 16, "cond_frames": 1,
+        "num_frames": 4, "ddim_steps": 2, "scale": 7.5, "seed": 0,
+        "mixed_precision": "no", "model_overrides": TINY_OVERRIDES,
+    }
+    cfg_path = str(tmp_path / "edit.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.dump(cfg, f)
+    _run("edit.py", cfg_path, "--video_path", gif_path,
+         "--input_text_prompts", "pour the water", "--edit_strength", "0.5")
+    assert os.path.exists(os.path.join(out_dir, "sample-0.gif"))
+
+
+@pytest.mark.slow
 def test_inference_script_end_to_end(tmp_path):
     data_dir = str(tmp_path / "data")
     out_dir = str(tmp_path / "out")
