@@ -106,6 +106,12 @@ class FVDEvaluator:
 
     def embed(self, videos_uint8: np.ndarray) -> np.ndarray:
         """uint8 (b, t, h, w, c) -> (b, 400) I3D logits."""
+        if videos_uint8.shape[1] < 9:
+            # three stride-2 temporal halvings then a VALID (2,7,7) avg-pool:
+            # below 9 frames the pool output is EMPTY and FVD silently NaNs
+            raise ValueError(
+                f"FVD's I3D needs >= 9 frames, got {videos_uint8.shape[1]} "
+                "(the reference protocol uses 16)")
         vids = preprocess_videos(videos_uint8)
         chunks = []
         for i in range(0, len(vids), self.micro_batch):
