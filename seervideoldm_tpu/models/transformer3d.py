@@ -54,6 +54,25 @@ def _pab_residual(mod: nn.Module, name: str, use_cached: bool, compute_fn):
     return delta
 
 
+class _DenseParams(nn.Module):
+    """Parameter container matching ``nn.Dense``'s names, shapes, and
+    initializers (same path -> same init RNG draws), for paths that need the
+    raw kernel/bias instead of the fused matmul."""
+
+    in_features: int
+    features: int
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.in_features, self.features), self.param_dtype)
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), self.param_dtype)
+        return kernel, bias
+
+
 class GEGLU(nn.Module):
     dim_out: int
     dtype: jnp.dtype = jnp.float32
@@ -61,10 +80,50 @@ class GEGLU(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = nn.Dense(
-            self.dim_out * 2, dtype=self.dtype, param_dtype=self.param_dtype, name="proj"
-        )(x)
-        hidden, gate = jnp.split(x, 2, axis=-1)
+        from ..ops.pallas import get_activation_mesh
+
+        reg = get_activation_mesh()
+        mesh = reg[0] if reg is not None else None
+        tp = (mesh is not None and mesh.shape.get("model", 1) > 1
+              and self.dim_out % mesh.shape["model"] == 0)
+        if not tp:
+            x = nn.Dense(
+                self.dim_out * 2, dtype=self.dtype,
+                param_dtype=self.param_dtype, name="proj")(x)
+            hidden, gate = jnp.split(x, 2, axis=-1)
+            return hidden * nn.gelu(gate, approximate=False)
+        # Tensor parallelism: the fused [hidden; gate] column layout makes a
+        # contiguous P(None, 'model') kernel sharding put ALL hidden columns
+        # on the first model ranks and ALL gate columns on the last — the
+        # hidden*gelu(gate) product then has no zero-comm layout and GSPMD
+        # falls back to full rematerialization of the (b, n, 2*inner)
+        # activation.  The Megatron form: two matmuls against the kernel
+        # halves, each column-sharded over 'model', so the product is
+        # elementwise-local and net_2's P('model', None) kernel closes with
+        # one psum.  The half reshards are loop-invariant (weights), hoisted
+        # out of the sampling scan by LICM; math is bitwise identical to the
+        # fused matmul (column-split of a dot).
+        import jax as _jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        kernel, bias = _DenseParams(
+            in_features=x.shape[-1], features=self.dim_out * 2,
+            param_dtype=self.param_dtype, name="proj")()
+        x, kernel, bias = nn.dtypes.promote_dtype(
+            x, kernel, bias, dtype=self.dtype)
+        col = NamedSharding(mesh, P(None, "model"))
+        vec = NamedSharding(mesh, P("model"))
+        out_spec = NamedSharding(
+            mesh, P(*([P.UNCONSTRAINED] * (x.ndim - 1) + ["model"])))
+        wsc = _jax.lax.with_sharding_constraint
+
+        def half(lo, hi):
+            w = wsc(kernel[:, lo:hi], col)
+            b = wsc(bias[lo:hi], vec)
+            return wsc(x @ w + b, out_spec)
+
+        hidden = half(0, self.dim_out)
+        gate = half(self.dim_out, 2 * self.dim_out)
         return hidden * nn.gelu(gate, approximate=False)
 
 

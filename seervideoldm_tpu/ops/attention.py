@@ -122,16 +122,49 @@ def sliced_attention(
     return out.swapaxes(0, 1).reshape(b, h, n, d)
 
 
+def _tp_constrain(x: jnp.ndarray, model_dim: int) -> jnp.ndarray:
+    """Anchor ``x``'s ``model_dim`` axis to the 'model' mesh axis.
+
+    Under tensor parallelism the QKV projections produce 'model'-sharded
+    features; without an explicit anchor GSPMD sometimes prefers an
+    all-batch-sharded layout for the attention einsums and then cannot
+    transition between the two efficiently ("involuntary full
+    rematerialization" — it replicates the tensor mid-graph).  Every other
+    axis stays UNCONSTRAINED so data/seq batch sharding propagates freely.
+    No-op without a registered multi-device 'model' mesh axis or when the
+    axis size does not divide the dimension.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from .pallas import get_activation_mesh
+
+    reg = get_activation_mesh()
+    if reg is None:
+        return x
+    mesh = reg[0]
+    if mesh.shape.get("model", 1) <= 1:
+        return x
+    if x.shape[model_dim] % mesh.shape["model"] != 0:
+        return x
+    spec = [P.UNCONSTRAINED] * x.ndim
+    spec[model_dim] = "model"
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec)))
+
+
 def _split_heads(x: jnp.ndarray, heads: int) -> jnp.ndarray:
-    """(b, n, h*d) -> (b, h, n, d)."""
+    """(b, n, h*d) -> (b, h, n, d); head axis stays 'model'-sharded under TP."""
     b, n, hd = x.shape
-    return x.reshape(b, n, heads, hd // heads).transpose(0, 2, 1, 3)
+    x = x.reshape(b, n, heads, hd // heads).transpose(0, 2, 1, 3)
+    return _tp_constrain(x, 1)
 
 
 def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
-    """(b, h, n, d) -> (b, n, h*d)."""
+    """(b, h, n, d) -> (b, n, h*d); merged features stay 'model'-sharded
+    under TP (to_out_0's kernel is P('model', None) — local contraction +
+    one psum, the Megatron pattern)."""
     b, h, n, d = x.shape
-    return x.transpose(0, 2, 1, 3).reshape(b, n, h * d)
+    x = x.transpose(0, 2, 1, 3).reshape(b, n, h * d)
+    return _tp_constrain(x, 2)
 
 
 class CrossAttention(nn.Module):
