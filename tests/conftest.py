@@ -15,3 +15,16 @@ jax.config.update("jax_platforms", "cpu")
 # CPU backend lowers fp32 matmuls to reduced precision by default; parity
 # tests compare against torch fp32, so force full precision.
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent compilation cache: on this 1-core box XLA compiles dominate the
+# suite wall-clock; warm-cache runs are the every-commit workflow.  A
+# tests-dedicated dir (the 8-virtual-device/highest-precision configs would
+# pollute the entry-point cache keys anyway).
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache_tests")
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+try:
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+except Exception:
+    pass
