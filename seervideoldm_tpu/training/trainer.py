@@ -91,7 +91,12 @@ def prepare_batch_fn(models) -> Callable:
 
     @functools.partial(jax.jit, static_argnames=("cond_frames",))
     def _prepare(video, input_ids, attention_mask, rng, clip_params,
-                 vae_params, cond_frames: int):
+                 vae_params, cond_frames: int, fold_step=None):
+        if fold_step is not None:
+            # per-micro-step key derivation INSIDE the jit: a host-side
+            # `np.asarray(jax.random.fold_in(...))` is a full accelerator
+            # round trip per micro-step (dispatch + device->host readback)
+            rng = jax.random.fold_in(rng, fold_step)
         b, f, h, w, c = video.shape
         clip_emb = clip.apply({"params": clip_params}, input_ids, attention_mask)
         flat = video.reshape(b * f, h, w, c)
@@ -103,13 +108,15 @@ def prepare_batch_fn(models) -> Callable:
             "clip_emb": clip_emb,
         }
 
-    def prepare(video, input_ids, attention_mask, rng, cond_frames: int):
+    def prepare(video, input_ids, attention_mask, rng, cond_frames: int,
+                fold_step=None):
         # frozen VAE/CLIP weights must be runtime ARGUMENTS — captured as
         # closure constants they get embedded into the lowered module
         # (~800 MB fp32), which the remote-compile tunnel rejects outright
         # (HTTP 413) and which would bloat any compile anywhere
         return _prepare(video, input_ids, attention_mask, rng,
-                        models.clip_params, models.vae_params, cond_frames)
+                        models.clip_params, models.vae_params, cond_frames,
+                        fold_step)
 
     return prepare
 

@@ -292,6 +292,18 @@ def main() -> None:
     # input latents, leaking the regression target into the model input.
     prep_rng, step_rng = jax.random.split(jax.random.PRNGKey(cfg.seed + 1))
     step_rng_np = np.asarray(step_rng)  # host copy; fold_in happens in-jit
+    prep_rng_np = np.asarray(prep_rng)
+    # bf16 on the host wire: when the models compute in bf16 anyway, casting
+    # the video batch before device_put halves the host->device bytes (the
+    # dominant non-compute cost per micro-step on slow interconnects), and
+    # bf16's 0.4% relative step equals the uint8 quantization the decoded
+    # frames already carry.  Full-precision runs keep the fp32 wire.
+    if models.unet.dtype == jnp.bfloat16:
+        import ml_dtypes
+
+        wire_dtype = ml_dtypes.bfloat16
+    else:
+        wire_dtype = None
     step_time = time.time()
     compiled_step = None
     # reference tqdm over optimizer steps (train.py:313); rank-0 only
@@ -335,14 +347,19 @@ def main() -> None:
             # every process feeds its own loader shard; the result is ONE
             # global batch array sharded over the data axis (the reference's
             # per-rank DataLoader + DDP, train.py:247-249,265-267)
+            if wire_dtype is not None:
+                videos = videos.astype(wire_dtype)
             videos = global_batch_array(mesh, videos)
             ids = global_batch_array(mesh, tok["input_ids"])
             mask = global_batch_array(mesh, tok["attention_mask"])
             # keys go in as host numpy (identical on every process): a
             # committed process-local device array cannot mix with global
-            # inputs under multi-process jit
-            k_prep = np.asarray(jax.random.fold_in(prep_rng, micro_step))
-            batch = prepare(videos, ids, mask, k_prep, cond_frames=cfg.cond_frames)
+            # inputs under multi-process jit.  The per-micro-step fold_in
+            # happens INSIDE the jit (fold_step): host-side fold_in was a
+            # full accelerator round trip per micro-step.
+            batch = prepare(videos, ids, mask, prep_rng_np,
+                            cond_frames=cfg.cond_frames,
+                            fold_step=np.int32(micro_step))
             if compiled_step is None:
                 # multi-process: compile on every rank FIRST, barrier, then
                 # execute — the first collective's rendezvous window is much
