@@ -78,6 +78,7 @@ def _convert(sd):
             convert_clip_projections(sd, pp))
 
 
+@pytest.mark.slow
 def test_image_features_match_transformers(oracle):
     import torch
 

@@ -129,6 +129,7 @@ def test_use_pallas_attention_knob_wired(tmp_path, monkeypatch):
         swat._DISABLE = False
 
 
+@pytest.mark.slow
 def test_seq_mesh_builds_seq_sharded_unet(tmp_path):
     """A mesh with a 'seq' axis must produce a UNet with frame-axis
     activation sharding and register the mesh for shard_map-wrapped
@@ -179,6 +180,7 @@ def test_center_crop_false_rejected(tmp_path):
     assert load_config(_write_cfg(tmp_path, center_crop=True)).center_crop
 
 
+@pytest.mark.slow
 def test_donate_latents_knob_wired():
     """`donate_latents: false` must keep the caller's x_T buffer alive."""
     import jax.numpy as jnp

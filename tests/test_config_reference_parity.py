@@ -7,6 +7,9 @@ import pytest
 REF_CONFIGS = "/root/reference/configs"
 
 
+
+pytestmark = pytest.mark.critical
+
 @pytest.mark.parametrize("name", ["train", "eval", "inference", "inference_base"])
 def test_reference_config_parses_verbatim(name, monkeypatch):
     path = os.path.join(REF_CONFIGS, f"{name}.yaml")

@@ -1,12 +1,16 @@
 """DDIM scan-loop semantics with mock UNets: update formula, x0_emb
 re-concat + slice, CFG batching/order, eta-noise path."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
 from seervideoldm_tpu.diffusion.ddim import ddim_sample_loop
 from seervideoldm_tpu.diffusion.schedules import DiffusionSchedule
 
+
+
+pytestmark = pytest.mark.critical
 
 def make_tables(steps=5):
     return DiffusionSchedule.create(1000).ddim_tables(steps)

@@ -66,6 +66,7 @@ def _copy_params(models):
                          "fstext": models.fstext_params})
 
 
+@pytest.mark.slow
 def test_ema_tracks_params(tiny):
     models, batch = tiny
     params = _copy_params(models)
@@ -89,6 +90,7 @@ def test_ema_tracks_params(tiny):
                                    err_msg=jax.tree_util.keystr(pw))
 
 
+@pytest.mark.slow
 def test_ema_updates_only_on_sync_step(tiny):
     models, batch = tiny
     params = _copy_params(models)

@@ -39,6 +39,7 @@ def test_apply_freeu_backbone_half_scaling():
     np.testing.assert_allclose(np.asarray(out_s), np.asarray(skip), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_unet_freeu_off_is_parity_and_on_differs():
     from seervideoldm_tpu.models.unet3d import SeerUNet, SeerUNetConfig
 
@@ -71,6 +72,7 @@ def test_unet_freeu_off_is_parity_and_on_differs():
     )
 
 
+@pytest.mark.slow
 def test_config_validation_and_injection():
     from seervideoldm_tpu.config import Config, validate
 

@@ -3,6 +3,7 @@ import os
 import sys
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 import torch
@@ -33,6 +34,7 @@ def _build(num_frames, pos_frames):
     return oracle, model, params
 
 
+@pytest.mark.slow
 def test_fstext_matches_torch_oracle():
     oracle, model, params = _build(num_frames=8, pos_frames=8)
     ctx = np.random.RandomState(4).randn(2, 5, 16).astype(np.float32)

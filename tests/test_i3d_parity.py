@@ -64,6 +64,7 @@ def ref_i3d():
     return model
 
 
+@pytest.mark.slow
 def test_i3d_logits_match_reference(ref_i3d, tmp_path):
     from seervideoldm_tpu.evaluation.i3d import InceptionI3d, load_i3d_params
 

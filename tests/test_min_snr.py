@@ -112,6 +112,7 @@ def _run_step(models, batch, snr_gamma, prediction_type="epsilon"):
     return {k: float(v) for k, v in metrics.items()}
 
 
+@pytest.mark.slow
 def test_train_step_weighted_loss_matches_manual(tiny):
     """The jitted step's weighted loss == manually re-weighting per-sample
     MSEs with the closed-form weights (same RNG -> same noise/timesteps)."""
@@ -143,6 +144,7 @@ def test_train_step_weighted_loss_matches_manual(tiny):
     assert m5["loss"] == pytest.approx(float(jnp.mean(w * per_sample)), rel=1e-5)
 
 
+@pytest.mark.slow
 def test_train_step_v_prediction_weighting(tiny):
     """v-prediction weighting runs and differs from the unweighted loss
     whenever any sampled timestep is clamped or scaled (always true: the v

@@ -113,6 +113,7 @@ def test_temporal_causality():
     assert not np.allclose(y1[:, -1], y2[:, -1])
 
 
+@pytest.mark.slow
 def test_fstext_shapes_and_interpolation():
     model = FSTextTransformer(num_frames=12, num_layers=2)
     ctx = jnp.asarray(np.random.RandomState(4).randn(2, 7, 768).astype(np.float32))

@@ -19,6 +19,9 @@ from seervideoldm_tpu.ops.norms import GroupNorm, LayerNorm
 
 
 # --- independent torch re-derivation of rotary-embedding-torch 0.1.5 ---
+
+pytestmark = pytest.mark.critical
+
 def torch_rotary(t: torch.Tensor, rot_dim: int, theta: float = 10000.0) -> torch.Tensor:
     """'lang' freqs, interleaved pairs, first rot_dim channels rotated."""
     seq = t.shape[-2]

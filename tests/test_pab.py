@@ -132,6 +132,7 @@ def _inputs():
 # ------------------------------------------------------- cache semantics
 
 
+@pytest.mark.slow
 def test_cache_write_and_reuse_semantics(tiny_unet):
     unet, params = tiny_unet
     x = jax.random.normal(jax.random.PRNGKey(0), (B, F_TOT, S_LAT, S_LAT, 4))
@@ -213,6 +214,7 @@ def test_dpm_pab_ranges_one_bitwise(tiny_unet):
     assert jnp.all(out == base)
 
 
+@pytest.mark.slow
 def test_ddim_pab_matches_eager_simulation(tiny_unet):
     """The scan + lax.switch integration must reproduce an eager per-step
     loop that maintains the cache in Python and applies the same DDIM

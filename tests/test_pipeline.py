@@ -57,6 +57,7 @@ def test_generate_no_cfg_single_unet_batch(tiny_models):
     assert out.shape == (1, 3, 16, 16, 3)
 
 
+@pytest.mark.slow
 def test_train_step_data_parallel(tiny_models):
     """8-device CPU mesh: loss decreases only for trainable params."""
     from jax.sharding import NamedSharding, PartitionSpec as P

@@ -25,6 +25,9 @@ torch = pytest.importorskip("torch")
 REFERENCE = "/root/reference"
 
 
+
+pytestmark = pytest.mark.critical
+
 @pytest.fixture(scope="module")
 def ref():
     """Import the reference modules (torchvision stubbed for data_utils)."""

@@ -81,6 +81,7 @@ def test_ring_four_way_seq(causal=True):
 
 
 @requires_4
+@pytest.mark.slow
 def test_ring_gradients_match(seq_mesh):
     """Autodiff through the remat scan + ppermute ring == the einsum path's
     gradients — training under sequence parallelism is exact."""

@@ -1,3 +1,5 @@
+import pytest
+
 import numpy as np
 
 from seervideoldm_tpu.diffusion.schedules import (
@@ -7,6 +9,9 @@ from seervideoldm_tpu.diffusion.schedules import (
     make_ddim_timesteps,
 )
 
+
+
+pytestmark = pytest.mark.critical
 
 def test_linear_schedule_closed_form():
     betas = make_beta_schedule("linear", 1000, 1e-4, 2e-2)

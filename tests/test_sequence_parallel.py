@@ -25,6 +25,7 @@ def _inputs(b=2, f=4, s=16):
     return x, ts, ctx
 
 
+@pytest.mark.slow
 def test_unet_seq_parallel_matches_replicated():
     """UNet forward on a data×seq mesh (f sharded over 'seq') must equal the
     unsharded forward bit-for-near: sharding is a layout choice, never a

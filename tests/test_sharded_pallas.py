@@ -90,6 +90,7 @@ def test_non_divisible_batch_falls_back_to_einsum(mesh22):
     np.testing.assert_allclose(got, want, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_swat_module_shard_map_parity(mesh22):
     """WindowTemporalAttention takes the fused SWAT kernel under the mesh
     (ws=8 at h=32) and matches its own XLA path bit-for-semantics."""

@@ -143,6 +143,7 @@ def test_min_tokens_gate():
     )
 
 
+@pytest.mark.slow
 def test_unet_tome_smoke_and_gradients():
     """Tiny SeerUNet with ToMe on: forward matches shape, is finite, and the
     merge indices don't break autodiff."""
@@ -189,6 +190,7 @@ def test_config_knob_plumbing():
         validate(cfg)
 
 
+@pytest.mark.slow
 def test_load_models_injects_tome(tmp_path):
     """load_models threads the YAML tome knobs into the UNet config."""
     from seervideoldm_tpu.config import Config

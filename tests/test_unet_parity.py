@@ -19,6 +19,9 @@ CFG = SeerUNetConfig(
 )
 
 
+
+pytestmark = pytest.mark.critical
+
 @pytest.fixture(scope="module")
 def models_and_params():
     torch.manual_seed(0)

@@ -18,6 +18,9 @@ from torch_ref import TinyVAE  # noqa: E402
 CFG = VAEConfig(block_out_channels=(16, 32), layers_per_block=1, norm_num_groups=8)
 
 
+
+pytestmark = pytest.mark.critical
+
 @pytest.fixture(scope="module")
 def vaes():
     torch.manual_seed(0)
