@@ -54,7 +54,15 @@ def main() -> None:
                         help="Token Merging ratio for the high-res spatial "
                              "self-attention (beyond reference; headline "
                              "protocol omits this). Typical: --tome 0.5")
+    parser.add_argument("--compile_effort", default="default",
+                        choices=["fast", "default", "max"],
+                        help="XLA exec-time optimization effort; 'max' suits "
+                             "a compile-once serving executable")
     args = parser.parse_args()
+
+    from seervideoldm_tpu.utils.cache import set_compile_effort
+
+    set_compile_effort(args.compile_effort)
 
     from seervideoldm_tpu.diffusion.ddim import ddim_sample_loop
     from seervideoldm_tpu.diffusion.dpm_solver import dpm_solver_sample_loop

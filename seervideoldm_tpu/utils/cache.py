@@ -32,9 +32,15 @@ def set_compile_effort(effort: str) -> None:
     otherwise exceeds the remote-compile tunnel's lifetime (STATUS.md
     round-1 blocker); measured step-time impact is small and the persistent
     cache makes later runs free either way.  ``default`` leaves XLA alone.
+    ``max`` raises the effort to its maximum — worth it for a serving
+    executable compiled once and reused for millions of clips.
     """
     if effort == "default":
         return
+    if effort == "max":
+        jax.config.update("jax_exec_time_optimization_effort", 1.0)
+        return
     if effort != "fast":
-        raise ValueError(f"compile_effort must be 'fast' or 'default', got {effort!r}")
+        raise ValueError(
+            f"compile_effort must be 'fast', 'default' or 'max', got {effort!r}")
     jax.config.update("jax_exec_time_optimization_effort", -1.0)
