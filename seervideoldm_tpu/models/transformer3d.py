@@ -127,8 +127,29 @@ class GEGLU(nn.Module):
         return hidden * nn.gelu(gate, approximate=False)
 
 
+class _GEGLUParams(nn.Module):
+    """Parameter shell matching GEGLU's tree (net_0/proj/{kernel,bias})."""
+
+    in_features: int
+    features: int
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        return _DenseParams(self.in_features, self.features,
+                            self.param_dtype, name="proj")()
+
+
 class FeedForward(nn.Module):
-    """GEGLU(dim -> 4*dim) -> Dense(4*dim -> dim). Names mirror torch ff.net.{0,2}."""
+    """GEGLU(dim -> 4*dim) -> Dense(4*dim -> dim). Names mirror torch ff.net.{0,2}.
+
+    On a single-device TPU with supported shapes the whole chain runs as
+    ONE pallas kernel (ops/pallas/geglu_ff.py): the (tokens, 2*inner)
+    GEGLU intermediate never touches HBM — the dominant above-floor cost
+    of every FF site in the 512px budget (STATUS round-4 item 10).  Both
+    paths create the identical parameter tree (same names/shapes/init RNG
+    draws), so checkpoints are interchangeable.
+    """
 
     dim: int
     mult: int = 4
@@ -138,6 +159,26 @@ class FeedForward(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         inner = int(self.dim * self.mult)
+        from ..ops.pallas import get_activation_mesh, pallas_enabled
+        from ..ops.pallas.geglu_ff import geglu_ff, geglu_ff_supported
+
+        lead, c = x.shape[:-1], x.shape[-1]
+        n = 1
+        for s in lead:
+            n *= int(s)
+        # the fused kernel is an opaque custom call GSPMD cannot partition;
+        # any registered mesh keeps the XLA path (sharding-friendly)
+        if (c == self.dim and pallas_enabled()
+                and get_activation_mesh() is None
+                and geglu_ff_supported(n, c, inner, x.dtype)):
+            w1, b1 = _GEGLUParams(c, inner * 2, self.param_dtype,
+                                  name="net_0")()
+            w2, b2 = _DenseParams(inner, self.dim, self.param_dtype,
+                                  name="net_2")()
+            w1, b1, w2, b2 = nn.dtypes.promote_dtype(
+                w1, b1, w2, b2, dtype=self.dtype)
+            out = geglu_ff(x.reshape(n, c), w1, b1, w2, b2)
+            return checkpoint_name(out.reshape(*lead, self.dim), "ff_out")
         x = GEGLU(inner, dtype=self.dtype, param_dtype=self.param_dtype, name="net_0")(x)
         x = nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype, name="net_2")(x)
         return checkpoint_name(x, "ff_out")

@@ -16,17 +16,27 @@ from .flash_attention import flash_attention, flash_attention_available
 _ACTIVATION_MESH = None  # (Mesh, tuple[axis, ...]) or None
 
 
+_PALLAS_ENABLED = True
+
+
 def set_pallas_enabled(enabled: bool) -> None:
     """Honor the ``use_pallas_attention`` config knob (config.py): force the
-    XLA attention paths everywhere when False."""
+    XLA paths everywhere when False (attention kernels AND the fused
+    GEGLU feed-forward)."""
     import importlib
 
+    global _PALLAS_ENABLED
+    _PALLAS_ENABLED = bool(enabled)
     # NB: `from . import flash_attention` would return the re-exported
     # FUNCTION (rebound by the import above), not the module
     _fa = importlib.import_module(f"{__name__}.flash_attention")
     _swat = importlib.import_module(f"{__name__}.swat_attention")
     _fa._DISABLE = not enabled
     _swat._DISABLE = not enabled
+
+
+def pallas_enabled() -> bool:
+    return _PALLAS_ENABLED
 
 
 def set_activation_mesh(mesh, axes=None) -> None:
@@ -90,5 +100,6 @@ def maybe_shard_batched(fn, *arrays):
 
 __all__ = [
     "flash_attention", "flash_attention_available", "set_pallas_enabled",
-    "set_activation_mesh", "get_activation_mesh", "maybe_shard_batched",
+    "pallas_enabled", "set_activation_mesh", "get_activation_mesh",
+    "maybe_shard_batched",
 ]
