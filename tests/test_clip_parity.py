@@ -51,6 +51,7 @@ def test_clip_text_matches_hf_torch(torch_clip):
     np.testing.assert_allclose(got, want, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_clip_text_no_mask_matches(torch_clip):
     cfg = CLIPTextConfig(
         vocab_size=99, hidden_size=32, intermediate_size=64,

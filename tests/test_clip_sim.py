@@ -94,6 +94,7 @@ def test_image_features_match_transformers(oracle):
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_text_features_match_transformers(oracle):
     import torch
 

@@ -4,6 +4,7 @@ shared conditioning mechanics (CFG + cond-frame concat)."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from seervideoldm_tpu.diffusion.ddim import ddim_sample_loop
 from seervideoldm_tpu.diffusion.dpm_solver import dpm_solver_sample_loop
@@ -122,6 +123,7 @@ def test_cfg_and_cond_frames_shared_mechanics():
     assert seen[0] == ((4, 5, 4, 4, 4), (4, 5, 7, 8))
 
 
+@pytest.mark.slow
 def test_pipeline_sampler_knob():
     """`sampler="dpm++"` flows through SeerPipeline and produces latents of
     the right shape, distinct from DDIM's but with comparable scale."""

@@ -126,6 +126,7 @@ def test_ema_updates_only_on_sync_step(tiny):
     assert moved, "EMA never moved after the sync micro-step"
 
 
+@pytest.mark.slow
 def test_ema_disabled_is_none(tiny):
     models, batch = tiny
     params = _copy_params(models)

@@ -77,6 +77,7 @@ def manifests():
     return load_reference_manifests()
 
 
+@pytest.mark.slow
 def test_full_scale_seer_unet_export(manifests):
     """Shape-only at real SD-1.5 scale: every manifest key is produced, no
     flax leaf is left behind, and all shapes match the reference contract."""

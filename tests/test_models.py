@@ -137,7 +137,8 @@ def test_nearest_frame_resize_matches_torch():
         np.testing.assert_allclose(got, want)
 
 
-@pytest.mark.parametrize("cond_frame", [0, 1])
+@pytest.mark.parametrize("cond_frame", [
+    pytest.param(0, marks=pytest.mark.slow), 1])
 def test_seer_unet_tiny_forward(cond_frame):
     unet = SeerUNet(config=TINY)
     b, f, h, w = 1, 3, 16, 16

@@ -169,6 +169,7 @@ def test_cache_write_and_reuse_semantics(tiny_unet):
     )
 
 
+@pytest.mark.slow
 def test_pab_with_remat_raises(tiny_unet):
     _, params = tiny_unet
     unet = SeerUNet(config=TINY, dtype=jnp.float32, remat=True)
@@ -182,6 +183,7 @@ def test_pab_with_remat_raises(tiny_unet):
 # -------------------------------------------------- sampler integration
 
 
+@pytest.mark.slow
 def test_ddim_pab_ranges_one_bitwise(tiny_unet):
     unet, params = tiny_unet
     unet_apply, pab_apply = _apply_fns(unet, params)
@@ -198,6 +200,7 @@ def test_ddim_pab_ranges_one_bitwise(tiny_unet):
     assert jnp.all(out == base)
 
 
+@pytest.mark.slow
 def test_dpm_pab_ranges_one_bitwise(tiny_unet):
     unet, params = tiny_unet
     unet_apply, pab_apply = _apply_fns(unet, params)
@@ -260,6 +263,7 @@ def test_ddim_pab_matches_eager_simulation(tiny_unet):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pab_rejects_guidance_interval_and_unequal_context(tiny_unet):
     unet, params = tiny_unet
     _, pab_apply = _apply_fns(unet, params)
@@ -274,6 +278,7 @@ def test_pab_rejects_guidance_interval_and_unequal_context(tiny_unet):
                     pab=(modes, pab_apply))
 
 
+@pytest.mark.slow
 def test_pab_schedule_length_mismatch_raises(tiny_unet):
     unet, params = tiny_unet
     unet_apply, pab_apply = _apply_fns(unet, params)

@@ -154,6 +154,7 @@ def test_converter_roundtrip_torch_linear_conv(tiny_models):
     np.testing.assert_array_equal(np.asarray(tree["norm"]["scale"]), np.ones(6))
 
 
+@pytest.mark.slow
 def test_sharded_sampling_over_data_mesh(tiny_models):
     """Batch sharded over 8 devices: sampling compiles and preserves sharding."""
     from seervideoldm_tpu.parallel.mesh import create_mesh

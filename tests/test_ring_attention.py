@@ -66,6 +66,7 @@ def test_ring_matches_reference(seq_mesh, causal, ws):
 
 
 @requires_4
+@pytest.mark.slow
 def test_ring_four_way_seq(causal=True):
     """All devices on the seq axis (no batch axis): 4 ring hops."""
     mesh = create_mesh({"seq": 4})

@@ -65,6 +65,7 @@ def test_single_chunk_matches_generate_bitwise(tiny_models):
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
 
 
+@pytest.mark.slow
 def test_multi_chunk_shape_and_truncation(tiny_models):
     """total_frames = 7 with f2 = 3 -> 3 chunks, truncated to 7 frames."""
     pipe = SeerPipeline(tiny_models)

@@ -150,6 +150,7 @@ def test_service_on_data_mesh(service):
         svc.stop()
 
 
+@pytest.mark.slow
 def test_service_rollout(service):
     """total_frames > num_frames - cond_frames runs the autoregressive
     rollout per batch; '|'-chained prompts map one instruction per chunk

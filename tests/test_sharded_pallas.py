@@ -53,6 +53,7 @@ def test_flash_dispatches_through_shard_map(mesh22):
     np.testing.assert_allclose(got, want, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_flash_shard_map_gradients(mesh22):
     """custom_vjp (fused Pallas backward) composes with shard_map."""
     rng = np.random.RandomState(1)
@@ -108,6 +109,7 @@ def test_swat_module_shard_map_parity(mesh22):
     np.testing.assert_allclose(got, want, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_swat_shard_map_gradients(mesh22):
     """Fused SWAT backward under shard_map matches the unfused vjp."""
     rng = np.random.RandomState(4)

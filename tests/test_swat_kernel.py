@@ -56,6 +56,7 @@ def test_swat_gradients_match_unfused():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_swat_multigroup_causal_decomposition_gradients():
     """f=9 > gsz=8 at ws=4 forces MULTIPLE frame-row groups, exercising the
     backward kernel's prefix dk/dv accumulation across groups (a single
@@ -148,7 +149,7 @@ def test_window_temporal_attention_swat_dispatch_parity():
     pytest.param(2, 8, 32, 40, 8, marks=pytest.mark.slow),
     # widths NOT divisible by 16: the old sw=min(16,w) grid left trailing
     # columns unwritten (ADVICE r2 medium)
-    (2, 8, 24, 40, 8),
+    pytest.param(2, 8, 24, 40, 8, marks=pytest.mark.slow),
     pytest.param(2, 8, 40, 32, 8, marks=pytest.mark.slow),
     (2, 4, 12, 32, 4)])
 def test_swat_fused_backward_kernel(f, h, w, d, ws):

@@ -32,6 +32,7 @@ def test_dst_src_partition_is_exact():
         assert len(d) + len(s) == hw * hw
 
 
+@pytest.mark.slow
 def test_merge_shapes_and_r_cap():
     b, h, w, c = 2, 8, 8, 16
     x = jax.random.normal(jax.random.PRNGKey(0), (b, h * w, c))
@@ -47,6 +48,7 @@ def test_merge_shapes_and_r_cap():
     assert bipartite_soft_matching_2d(x, h, w, 0) == (None, None)
 
 
+@pytest.mark.slow
 def test_merge_averages_and_unmerge_scatters():
     """A src token identical to a dst token merges into it (mean), and after
     unmerge the merged position carries its dst row."""
