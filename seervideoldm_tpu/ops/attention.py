@@ -301,17 +301,48 @@ class WindowTemporalAttention(nn.Module):
         ws = select_window_size(h)
         scale = self.dim_head**-0.5
 
-        # Rotary is applied HERE in XLA (one fusable elementwise pass over
-        # q/k, ~0.2 ms of HBM traffic at 512px-L0) rather than in-kernel
-        # (rot_dim=0): the per-window trig measured 36% of the kernel's
-        # runtime (3.35 of 9.38 ms at 512px-L0, tools/probe r3).  Positions
-        # are the f-major full-resolution flattening — exactly the kernel's
-        # former in-kernel reconstruction.
-        freqs = rotary_freqs(jnp.arange(n), rot_dim)
-        q = apply_rotary(q, freqs)
-        k = apply_rotary(k, freqs)
+        # Rotary placement, measurement-driven (tools/probe_temporal_site.py):
+        # the fused-kernel path consumes fp32 cos/sin TABLES in-kernel
+        # (batch·head-invariant (f, h, w, d) arrays streamed with the window
+        # BlockSpec) — the XLA pre-rotation pass re-reads and re-writes the
+        # full q/k tensors and measured 2.14 ms of the 12.26 ms 512px-L0
+        # temporal site.  In-kernel TRIG stays rejected (36% of kernel
+        # runtime, probe r3); the tables carry the same fp32 trig the XLA
+        # pass computes, so the math is unchanged.  Every non-kernel path
+        # (ring, full-frame, windowed einsum) still pre-rotates in XLA.
+        from .ring import ring_attention_applicable, ring_window_attention
+        from .pallas.swat_attention import (swat_attention,
+                                            swat_attention_available,
+                                            swat_attention_tables)
 
+        use_tab_kernel = (ws is not None and ws >= 8 and self.use_flash
+                          and swat_attention_available()
+                          and not ring_attention_applicable())
         out = None
+        if use_tab_kernel:
+            from .pallas import get_activation_mesh, maybe_shard_batched
+            from .rotary import rotary_tables
+
+            tabs = rotary_tables(f, h, w, self.dim_head, rot_dim)
+            bh = b * self.heads
+            grid5 = lambda t: t.reshape(bh, f, h, w, self.dim_head)  # noqa: E731
+            fn = lambda qs, ks, vs, *t_: swat_attention_tables(  # noqa: E731
+                qs, ks, vs, *t_, scale, self.causal, ws)
+            if get_activation_mesh() is None:
+                out = fn(grid5(q), grid5(k), grid5(v), *tabs)
+            else:
+                # multi-device mesh: kernel under shard_map, batch·heads
+                # partitioned on axis 0, tables replicated (they are
+                # batch-invariant).  None = non-divisible bh: pre-rotate
+                # and take the paths below.
+                out = maybe_shard_batched(fn, grid5(q), grid5(k), grid5(v),
+                                          replicated=tabs)
+            if out is not None:
+                out = out.reshape(b, self.heads, n, self.dim_head)
+        if out is None:
+            freqs = rotary_freqs(jnp.arange(n), rot_dim)
+            q = apply_rotary(q, freqs)
+            k = apply_rotary(k, freqs)
         # Under sequence parallelism (a registered mesh with a 'seq' axis)
         # this is the ONE op that needs cross-frame visibility; the ring
         # path keeps the frame axis sharded and rotates K/V blocks with
@@ -319,9 +350,7 @@ class WindowTemporalAttention(nn.Module):
         # device (ops/ring.py) — peak memory O(local block), the enabler
         # for long-rollout frame counts.  None = no seq mesh / shapes
         # don't divide: fall through to the gather-based paths below.
-        from .ring import ring_attention_applicable, ring_window_attention
-
-        if ring_attention_applicable():
+        if out is None and ring_attention_applicable():
             bh = b * self.heads
             grid5 = lambda t: t.reshape(bh, f, h, w, self.dim_head)  # noqa: E731
             out = ring_window_attention(

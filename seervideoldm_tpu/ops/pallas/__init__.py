@@ -64,12 +64,14 @@ def get_activation_mesh():
     return _ACTIVATION_MESH
 
 
-def maybe_shard_batched(fn, *arrays):
-    """Run ``fn(*arrays)`` under shard_map over the registered activation
-    mesh, sharding ONLY axis 0 of every operand (and of the output, which
-    must have the same axis-0 length).  Returns ``None`` when axis 0 does
-    not divide the mesh — the caller must then take a GSPMD-partitionable
-    (non-Pallas) path instead of calling the kernel raw.
+def maybe_shard_batched(fn, *arrays, replicated=()):
+    """Run ``fn(*arrays, *replicated)`` under shard_map over the registered
+    activation mesh, sharding ONLY axis 0 of every ``arrays`` operand (and
+    of the output, which must have the same axis-0 length); ``replicated``
+    operands (e.g. batch-invariant rotary tables) pass through whole on
+    every device.  Returns ``None`` when axis 0 does not divide the mesh —
+    the caller must then take a GSPMD-partitionable (non-Pallas) path
+    instead of calling the kernel raw.
 
     shard_map reshards the operands to the requested specs, so this is
     correct whatever layout the inputs arrive in (e.g. a frame axis sharded
@@ -91,11 +93,12 @@ def maybe_shard_batched(fn, *arrays):
     spec = lambda nd: P(axes, *([None] * (nd - 1)))  # noqa: E731
     wrapped = jax.shard_map(
         fn, mesh=mesh,
-        in_specs=tuple(spec(x.ndim) for x in arrays),
+        in_specs=(tuple(spec(x.ndim) for x in arrays)
+                  + tuple(P(*([None] * x.ndim)) for x in replicated)),
         out_specs=spec(arrays[0].ndim),
         check_vma=False,
     )
-    return wrapped(*arrays)
+    return wrapped(*arrays, *replicated)
 
 
 __all__ = [

@@ -44,6 +44,11 @@ from ..windows import window_partition, window_reverse
 
 NEG_INF = -1e30
 
+# Causal frame-block decomposition: target rows per group.  Parity-neutral
+# (groups only change which matmul shapes compute the same masked scores);
+# 128 measured best at the 512px shapes (tools/probe_swat_gsz.py).
+_GROUP_ROWS = 128
+
 # Test hook: interpreter mode (CPU).
 _INTERPRET = False
 # Force the unfused XLA path (see flash_attention._DISABLE).
@@ -158,7 +163,7 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool,
                 # skip the masked upper half entirely — 2x fewer matmul
                 # passes and exp/mask lanes at f=12 (tril is f-major:
                 # whole past frames fully visible, tril inside the group).
-                gsz = max(1, 128 // (ws * ws))  # rows per group ~128
+                gsz = max(1, _GROUP_ROWS // (ws * ws))
                 group_outs = []
                 start = 0
                 while start < f:
@@ -196,6 +201,362 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool,
         body(0, 0)  # static index keeps Mosaic's alignment prover happy
     else:
         jax.lax.fori_loop(0, w // sw, body, 0)
+
+
+def _kernel_tab(q_ref, k_ref, v_ref, cos_ref, sin_ref, o_ref, *,
+                scale: float, causal: bool, f: int, ws: int,
+                w: int, d_pad: int):
+    """Table-rotary variant of ``_kernel``: q/k arrive UN-rotated and the
+    fp32 cos/sin tables (f, h, w, d) stream in with the window BlockSpec —
+    vs re-reading and re-writing whole q/k tensors in an XLA pre-pass
+    (whose ``jnp.roll``s materialize fp32 copies in HBM: 2.14 ms of the
+    12.26 ms 512px-L0 temporal site, tools/probe_temporal_site.py).  No
+    in-kernel trig (that variant measured 36% of kernel runtime) and no
+    angle-addition factoring (fp32 phase rounding deviates at bf16 level
+    for production positions): the tables ARE ``apply_rotary``'s values.
+    The fp32 table blocks lane-pad 40→128, so the kernel raises
+    ``vmem_limit_bytes`` above Mosaic's 16 MB default (v5e has 128 MB).
+    Numerics identical to ``apply_rotary`` -> ``_kernel(rot_dim=0)``:
+    fp32 rotate, bf16 cast, bf16 MXU matmuls."""
+    tokens = f * ws * ws
+
+    rows_t = jax.lax.broadcasted_iota(jnp.int32, (tokens, tokens), 0)
+    cols_t = jax.lax.broadcasted_iota(jnp.int32, (tokens, tokens), 1)
+    tril = cols_t <= rows_t
+
+    sw = min(max(ws, 8), w)
+    wins_per_slice = sw // ws
+
+    def body(c, _):
+        chunk_q = q_ref[0, :, :, pl.ds(c * sw, sw), :]
+        chunk_k = k_ref[0, :, :, pl.ds(c * sw, sw), :]
+        chunk_v = v_ref[0, :, :, pl.ds(c * sw, sw), :]
+        chunk_cos = cos_ref[:, :, pl.ds(c * sw, sw), :]  # (f, ws, sw, d)
+        chunk_sin = sin_ref[:, :, pl.ds(c * sw, sw), :]
+        outs = []
+        for sub in range(wins_per_slice):
+            def window(chunk):
+                return chunk[..., :, sub * ws : (sub + 1) * ws, :].reshape(
+                    tokens, d_pad
+                )
+
+            cos = window(chunk_cos)  # (tokens, d) fp32
+            sin = window(chunk_sin)
+
+            def rotate(t):
+                t32 = t.astype(jnp.float32)
+                return (t32 * cos + _rotate_half_roll(t32) * sin).astype(
+                    t.dtype)
+
+            q = rotate(window(chunk_q))
+            k = rotate(window(chunk_k))
+            v_win = window(chunk_v)
+
+            def softmax_pv(s, vis_v):
+                m = jnp.max(s, axis=-1, keepdims=True)
+                e = jnp.exp(s - m)
+                l = jnp.sum(e, axis=-1, keepdims=True)
+                return jax.lax.dot_general(
+                    e.astype(vis_v.dtype), vis_v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) / l
+
+            if causal and f > 1:
+                # causal frame-block decomposition — see _kernel
+                gsz = max(1, _GROUP_ROWS // (ws * ws))
+                group_outs = []
+                start = 0
+                while start < f:
+                    gf = min(gsz, f - start)
+                    row0 = start * ws * ws
+                    rows_n = gf * ws * ws
+                    ncols = row0 + rows_n
+                    s = jax.lax.dot_general(
+                        q[row0 : row0 + rows_n], k[:ncols],
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ) * scale
+                    rg = row0 + jax.lax.broadcasted_iota(
+                        jnp.int32, (rows_n, ncols), 0)
+                    cg = jax.lax.broadcasted_iota(
+                        jnp.int32, (rows_n, ncols), 1)
+                    s = jnp.where(cg <= rg, s, NEG_INF)
+                    group_outs.append(softmax_pv(s, v_win[:ncols]))
+                    start += gf
+                out = jnp.concatenate(group_outs, axis=0)
+            else:
+                s = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * scale
+                if causal:
+                    s = jnp.where(tril, s, NEG_INF)
+                out = softmax_pv(s, v_win)
+            outs.append(out.reshape(f, ws, ws, d_pad))
+        merged = jnp.concatenate(outs, axis=2) if len(outs) > 1 else outs[0]
+        o_ref[0, :, :, pl.ds(c * sw, sw), :] = merged.astype(o_ref.dtype)
+        return 0
+
+    if w // sw == 1:
+        body(0, 0)
+    else:
+        jax.lax.fori_loop(0, w // sw, body, 0)
+
+
+# Table-kernel VMEM cap: the fp32 table blocks lane-pad d→128 (3.1 MB each
+# at 512px-L0, double-buffered) on top of the q/k/v/o strips — ~26 MB of
+# blocks, over Mosaic's 16 MB default scoped budget but a fifth of the
+# chip's 128 MB VMEM.
+_TAB_VMEM_LIMIT = 64 * 1024 * 1024
+
+
+def _swat_forward_tab(q, k, v, cos, sin, scale: float, causal: bool, ws: int):
+    """Table-rotary forward. q/k/v: (B, f, h, w, d) un-rotated; cos/sin:
+    fp32 (f, h, w, d) from ``ops.rotary.rotary_tables``."""
+    batch, f, h, w, d = q.shape
+    grid = (batch, h // ws)
+    spec = pl.BlockSpec((1, f, ws, w, d), lambda b, i: (b, 0, i, 0, 0))
+    tspec = pl.BlockSpec((f, ws, w, d), lambda b, i: (0, i, 0, 0))
+    return pl.pallas_call(
+        functools.partial(
+            _kernel_tab, scale=scale, causal=causal, f=f, ws=ws, w=w, d_pad=d,
+        ),
+        grid=grid,
+        in_specs=[spec, spec, spec, tspec, tspec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((batch, f, h, w, d), q.dtype),
+        compiler_params=None if _INTERPRET else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=_TAB_VMEM_LIMIT,
+        ),
+        interpret=_INTERPRET,
+    )(q, k, v, cos, sin)
+
+
+def _bwd_kernel_tab(q_ref, k_ref, v_ref, cos_ref, sin_ref, g_ref,
+                    dq_ref, dk_ref, dv_ref, *, scale: float,
+                    causal: bool, f: int, ws: int, w: int, d_pad: int,
+                    sw: int):
+    """Table-rotary fused backward: re-rotate q/k from the tables,
+    recompute softmax, de-rotate dq/dk with the adjoint (t·cos −
+    rotate_half(t)·sin — RHᵀ = −RH, tables pair-constant; same identity as
+    ``_bwd_kernel``)."""
+    tokens = f * ws * ws
+    wins = sw // ws
+
+    rows_t = jax.lax.broadcasted_iota(jnp.int32, (tokens, tokens), 0)
+    cols_t = jax.lax.broadcasted_iota(jnp.int32, (tokens, tokens), 1)
+    tril = cols_t <= rows_t
+
+    dqs, dks, dvs = [], [], []
+    for sub in range(wins):
+        def window(ref):  # (1, f, ws, sw, d) block -> (tokens, d)
+            return ref[0, :, :, pl.ds(sub * ws, ws), :].reshape(tokens, d_pad)
+
+        def window_tab(ref):  # (f, ws, sw, d) block -> (tokens, d)
+            return ref[:, :, pl.ds(sub * ws, ws), :].reshape(tokens, d_pad)
+
+        cos = window_tab(cos_ref)  # (tokens, d) fp32
+        sin = window_tab(sin_ref)
+
+        def rotate(t):
+            t32 = t.astype(jnp.float32)
+            return t32 * cos + _rotate_half_roll(t32) * sin
+
+        def derotate(t32):
+            return t32 * cos - _rotate_half_roll(t32) * sin
+
+        qr = rotate(window(q_ref))  # fp32 (tokens, d)
+        kr = rotate(window(k_ref))
+        v32 = window(v_ref).astype(jnp.float32)
+        g32 = window(g_ref).astype(jnp.float32)
+
+        if causal and f > 1:
+            gsz = max(1, _GROUP_ROWS // (ws * ws))
+            dv_acc = jnp.zeros((tokens, d_pad), jnp.float32)
+            dk_acc = jnp.zeros((tokens, d_pad), jnp.float32)
+            dq_groups = []
+            start = 0
+            while start < f:
+                gf = min(gsz, f - start)
+                row0 = start * ws * ws
+                rows_n = gf * ws * ws
+                ncols = row0 + rows_n
+                qg = qr[row0 : row0 + rows_n]
+                gg = g32[row0 : row0 + rows_n]
+                kp = kr[:ncols]
+                vp = v32[:ncols]
+                s = jax.lax.dot_general(
+                    qg, kp, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * scale
+                rg = row0 + jax.lax.broadcasted_iota(
+                    jnp.int32, (rows_n, ncols), 0)
+                cg = jax.lax.broadcasted_iota(jnp.int32, (rows_n, ncols), 1)
+                s = jnp.where(cg <= rg, s, NEG_INF)
+                p = jax.nn.softmax(s, axis=-1)
+                dv_c = jax.lax.dot_general(
+                    p, gg, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                dp = jax.lax.dot_general(
+                    gg, vp, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+                ds = p * (dp - delta) * scale
+                dq_groups.append(jax.lax.dot_general(
+                    ds, kp, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ))
+                dk_c = jax.lax.dot_general(
+                    ds, qg, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                if ncols < tokens:
+                    pad = jnp.zeros((tokens - ncols, d_pad), jnp.float32)
+                    dv_c = jnp.concatenate([dv_c, pad], axis=0)
+                    dk_c = jnp.concatenate([dk_c, pad], axis=0)
+                dv_acc = dv_acc + dv_c
+                dk_acc = dk_acc + dk_c
+                start += gf
+            dq = derotate(jnp.concatenate(dq_groups, axis=0))
+            dk = derotate(dk_acc)
+            dv = dv_acc
+        else:
+            s = jax.lax.dot_general(
+                qr, kr, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32
+            ) * scale
+            if causal:
+                s = jnp.where(tril, s, NEG_INF)
+            p = jax.nn.softmax(s, axis=-1)
+            dv = jax.lax.dot_general(
+                p, g32, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32
+            )
+            dp = jax.lax.dot_general(
+                g32, v32, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32
+            )
+            delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+            ds = p * (dp - delta) * scale
+            dq = derotate(jax.lax.dot_general(
+                ds, kr, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32
+            ))
+            dk = derotate(jax.lax.dot_general(
+                ds, qr, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32
+            ))
+        shape5 = (f, ws, ws, d_pad)
+        dqs.append(dq.reshape(shape5))
+        dks.append(dk.reshape(shape5))
+        dvs.append(dv.reshape(shape5))
+
+    cat = lambda xs: (jnp.concatenate(xs, axis=2) if len(xs) > 1 else xs[0])  # noqa: E731
+    dq_ref[0] = cat(dqs).astype(dq_ref.dtype)
+    dk_ref[0] = cat(dks).astype(dk_ref.dtype)
+    dv_ref[0] = cat(dvs).astype(dv_ref.dtype)
+
+
+def _swat_backward_tab(q, k, v, cos, sin, g, scale: float,
+                       causal: bool, ws: int):
+    batch, f, h, w, d = q.shape
+    sw = _bwd_strip_width(w, ws)
+    assert sw is not None and w % sw == 0 and h % ws == 0
+    grid = (batch, h // ws, w // sw)
+    spec = pl.BlockSpec((1, f, ws, sw, d), lambda b, i, c: (b, 0, i, c, 0))
+    tspec = pl.BlockSpec((f, ws, sw, d), lambda b, i, c: (0, i, c, 0))
+    return pl.pallas_call(
+        functools.partial(
+            _bwd_kernel_tab, scale=scale, causal=causal, f=f, ws=ws, w=w,
+            d_pad=d, sw=sw,
+        ),
+        grid=grid,
+        in_specs=[spec, spec, spec, tspec, tspec, spec],
+        out_specs=[spec, spec, spec],
+        out_shape=[jax.ShapeDtypeStruct((batch, f, h, w, d), t.dtype)
+                   for t in (q, k, v)],
+        compiler_params=None if _INTERPRET else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+            vmem_limit_bytes=_TAB_VMEM_LIMIT,
+        ),
+        interpret=_INTERPRET,
+    )(q, k, v, cos, sin, g)
+
+
+def _unfused_reference_tab(q, k, v, cos, sin, scale, causal, ws):
+    """XLA path with table-rotation semantics (backward fallback + tests)."""
+    batch, f, h, w, d = q.shape
+
+    def rot(t):
+        t32 = t.astype(jnp.float32)
+        n_ = t32.shape[-1]
+        fwd = jnp.roll(t32, -1, axis=-1)
+        bwd = jnp.roll(t32, 1, axis=-1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (n_,), 0)
+        rh = jnp.where(lane % 2 == 0, -fwd, bwd)
+        return (t32 * cos[None] + rh * sin[None]).astype(t.dtype)
+
+    qr = rot(q)
+    kr = rot(k)
+    if ws is None or h <= 4:
+        n = f * h * w
+        flat = lambda t: t.reshape(batch, n, d)  # noqa: E731
+        qw, kw, vw = flat(qr), flat(kr), flat(v)
+    else:
+        qw = window_partition(qr, ws)
+        kw = window_partition(kr, ws)
+        vw = window_partition(v, ws)
+    logits = jnp.einsum("bnd,bmd->bnm", qw, kw,
+                        preferred_element_type=jnp.float32) * scale
+    if causal:
+        t = qw.shape[1]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+        logits = jnp.where(cols <= rows, logits, NEG_INF)
+    p = jax.nn.softmax(logits, axis=-1).astype(vw.dtype)
+    ow = jnp.einsum("bnm,bmd->bnd", p, vw)
+    if ws is None or h <= 4:
+        return ow.reshape(batch, f, h, w, d)
+    return window_reverse(ow, ws, f, h, w)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def swat_attention_tables(q, k, v, cos, sin, scale: float, causal: bool,
+                          ws: int):
+    """Fused table-rotary window causal attention.  q/k/v: (B, f, h, w, d)
+    UN-rotated; cos/sin fp32 (f, h, w, d) from ``ops.rotary.rotary_tables``.
+    The rotation rides the kernel as table inputs instead of an XLA
+    pre-rotation pass over the full q/k tensors."""
+    return _swat_forward_tab(q, k, v, cos, sin, scale, causal, ws)
+
+
+def _fwd_tab(q, k, v, cos, sin, scale, causal, ws):
+    return (swat_attention_tables(q, k, v, cos, sin, scale, causal, ws),
+            (q, k, v, cos, sin))
+
+
+def _bwd_tab(scale, causal, ws, residuals, g):
+    q, k, v, cos, sin = residuals
+    # table grads: positions are constants — zeros, DCE'd by XLA
+    zt = (jnp.zeros_like(cos), jnp.zeros_like(sin))
+    _, _, h, w, _ = q.shape
+    if (swat_attention_available() and h % ws == 0
+            and _bwd_strip_width(w, ws) is not None):
+        dq, dk, dv = _swat_backward_tab(q, k, v, cos, sin, g, scale, causal,
+                                        ws)
+        return (dq, dk, dv) + zt
+
+    def f(q, k, v):
+        return _unfused_reference_tab(q, k, v, cos, sin, scale, causal, ws)
+
+    _, vjp = jax.vjp(f, q, k, v)
+    return tuple(vjp(g)) + zt
+
+
+swat_attention_tables.defvjp(_fwd_tab, _bwd_tab)
 
 
 def _swat_forward(q, k, v, scale: float, causal: bool, ws: int, rot_dim: int,
@@ -295,7 +656,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *,
             # square — ~2x fewer MXU passes at f=12.  dk/dv accumulate over
             # groups into fp32 (tokens, d) buffers via zero-padded adds
             # (static shapes; Mosaic lowers concat-with-zeros for free).
-            gsz = max(1, 128 // (ws * ws))  # rows per group ~128
+            gsz = max(1, _GROUP_ROWS // (ws * ws))
             dv_acc = jnp.zeros((tokens, d_pad), jnp.float32)
             dk_acc = jnp.zeros((tokens, d_pad), jnp.float32)
             dq_groups = []

@@ -35,6 +35,32 @@ def rotary_freqs(positions: jnp.ndarray, rot_dim: int, theta: float = 10000.0) -
     return jnp.repeat(freqs, 2, axis=-1)  # (..., rot_dim), [f0,f0,f1,f1,...]
 
 
+def rotary_tables(f: int, h: int, w: int, d: int, rot_dim: int,
+                  theta: float = 10000.0) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """fp32 (f, h, w, d) cos/sin tables for the f-major full-resolution
+    flattening (positions ``frame*(h*w) + row*w + col``), with pass-through
+    lanes (>= rot_dim) folded in as cos=1/sin=0.
+
+    EXACTLY ``apply_rotary``'s trig (same ``rotary_freqs`` fp32 phases —
+    a factored angle-addition form was tried and rejected: at production
+    position magnitudes the fp32 phase-rounding difference reaches the
+    bf16 level, breaking parity with the reference's direct trig).
+    Factored out so the fused SWAT kernel can consume the rotation as
+    table *inputs*: the XLA pre-rotation pass re-reads and re-writes the
+    full q/k tensors (its ``jnp.roll``s materialize fp32 copies in HBM —
+    measured 2.14 ms/site at 512px-L0, tools/probe_temporal_site.py)
+    while these tables are batch·head-invariant and ~8 MB."""
+    pos = jnp.arange(f * h * w, dtype=jnp.float32).reshape(f, h, w)
+    freqs = rotary_freqs(pos, rot_dim, theta)  # (f, h, w, rot_dim)
+    cos = jnp.cos(freqs)
+    sin = jnp.sin(freqs)
+    if d > rot_dim:
+        widths = ((0, 0),) * 3 + ((0, d - rot_dim),)
+        cos = jnp.pad(cos, widths, constant_values=1.0)
+        sin = jnp.pad(sin, widths, constant_values=0.0)
+    return cos, sin
+
+
 def apply_rotary(t: jnp.ndarray, freqs: jnp.ndarray) -> jnp.ndarray:
     """Rotate the first ``rot_dim`` channels of ``t`` (..., seq, head_dim).
 

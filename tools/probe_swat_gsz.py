@@ -1,0 +1,74 @@
+"""Sweep the SWAT kernel's causal frame-group size (_GROUP_ROWS).
+
+The causal frame-block decomposition trades masked-half matmul waste
+(bigger groups) against per-group dispatch overhead (smaller groups).
+Parity-neutral: groups only change which matmul shapes compute the same
+masked scores.  Sweeps the production 512px shapes on the table-rotary
+kernel.
+
+Run on the real chip:  python tools/probe_swat_gsz.py
+"""
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import seervideoldm_tpu.ops.pallas.swat_attention as swat
+from seervideoldm_tpu.ops.rotary import rotary_tables
+from seervideoldm_tpu.utils.cache import enable_compilation_cache
+
+
+def bench(fn, x, iters=3):
+    def timed(n_inner):
+        @jax.jit
+        def scanned(x):
+            def body(h, _):
+                return fn(h).astype(h.dtype), ()
+
+            h, _ = jax.lax.scan(body, x, None, length=n_inner)
+            return jnp.sum(h.astype(jnp.float32))
+
+        float(scanned(x))
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            float(scanned(x))
+            times.append(time.perf_counter() - t0)
+        return float(np.median(times))
+
+    return max(timed(50) - timed(10), 1e-9) / 40
+
+
+def main():
+    enable_compilation_cache()
+    rng = jax.random.PRNGKey(0)
+    for label, bh, f, hw, d in [("L0", 16, 12, 64, 40), ("L1", 16, 12, 32, 80)]:
+        ws = 8
+        x = jax.random.normal(rng, (bh, f, hw, hw, d), jnp.bfloat16)
+        cos, sin = rotary_tables(f, hw, hw, d, min(32, d))
+        scale = d ** -0.5
+        base = None
+        for rows in (64, 128, 256, 384, 768):
+            swat._GROUP_ROWS = rows
+            try:
+                t = bench(lambda h: swat.swat_attention_tables(
+                    h, h, h, cos, sin, scale, True, ws), x)
+            except Exception as e:
+                print(f"{label} rows={rows}: FAILED {type(e).__name__}")
+                continue
+            finally:
+                swat._GROUP_ROWS = 128
+            if base is None:
+                base = t
+            print(f"{label} rows={rows:4d}: {t*1e3:7.3f} ms "
+                  f"({'%.2fx' % (base / t)})", flush=True)
+
+
+if __name__ == "__main__":
+    main()
