@@ -45,9 +45,11 @@ from ..windows import window_partition, window_reverse
 NEG_INF = -1e30
 
 # Causal frame-block decomposition: target rows per group.  Parity-neutral
-# (groups only change which matmul shapes compute the same masked scores);
-# 128 measured best at the 512px shapes (tools/probe_swat_gsz.py).
-_GROUP_ROWS = 128
+# — BITWISE: a row's scores contract over d only and its softmax always
+# sees the same visible prefix, so grouping changes matmul tiling, not
+# values.  Swept on-chip (tools/probe_swat_gsz.py): 256 beats 128 by
+# 1.26x at 512px-L0 (4.26 -> 3.38 ms) and 1.23x at L1; 64/384/768 worse.
+_GROUP_ROWS = 256
 
 # Test hook: interpreter mode (CPU).
 _INTERPRET = False

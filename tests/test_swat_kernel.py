@@ -57,10 +57,12 @@ def test_swat_gradients_match_unfused():
 
 
 @pytest.mark.slow
-def test_swat_multigroup_causal_decomposition_gradients():
-    """f=9 > gsz=8 at ws=4 forces MULTIPLE frame-row groups, exercising the
+def test_swat_multigroup_causal_decomposition_gradients(monkeypatch):
+    """f=9 > gsz at ws=4 (with _GROUP_ROWS pinned to 128) forces MULTIPLE
+    frame-row groups, exercising the
     backward kernel's prefix dk/dv accumulation across groups (a single
     group degenerates to the full-square path)."""
+    monkeypatch.setattr(swat, "_GROUP_ROWS", 128)
     rng = np.random.RandomState(3)
     f, h, w, d, ws = 9, 8, 8, 16, 4
     q = jnp.asarray(rng.randn(1, f, h, w, d).astype(np.float32))

@@ -79,9 +79,11 @@ def test_tables_gradients_match_trig_reference():
 
 
 @pytest.mark.slow
-def test_tables_multigroup_causal_gradients():
-    """f=9 > gsz=8 at ws=4 forces multiple frame-row groups in the fused
-    table backward (prefix dk/dv accumulation)."""
+def test_tables_multigroup_causal_gradients(monkeypatch):
+    """f=9 > gsz at ws=4 (with _GROUP_ROWS pinned to 128) forces multiple
+    frame-row groups in the fused table backward (prefix dk/dv
+    accumulation)."""
+    monkeypatch.setattr(swat, "_GROUP_ROWS", 128)
     rng = np.random.RandomState(3)
     f, h, w, d, ws = 9, 4, 8, 16, 4
     q = jnp.asarray(rng.randn(1, f, h, w, d).astype(np.float32))
