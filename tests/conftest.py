@@ -1,5 +1,14 @@
 """Test env: force CPU with 8 virtual devices so sharding tests run anywhere."""
 import os
+import sys
+
+# Fresh-checkout collection: the suite must run without `pip install -e .` or
+# a PYTHONPATH export.  The package lives at the repo root (this file's
+# parent's parent), so put that on sys.path before any test imports
+# `seervideoldm_tpu` or the root-level entry scripts.
+_repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _repo_root not in sys.path:
+    sys.path.insert(0, _repo_root)
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
