@@ -51,9 +51,21 @@ def load_video_frames(path: str, resolution: int, num_frames: int) -> np.ndarray
                 frames.append(image_to_model_input(img, resolution))
     else:
         with Image.open(path) as img:
+            # Optimized GIFs store P-mode DELTA frames (only the changed
+            # region) with disposal methods; a bare convert('RGB') per
+            # iterator frame renders just that region and corrupts every
+            # frame after the first.  Coalesce by compositing each frame
+            # onto the running full-frame canvas before converting.
+            canvas = None
             for frame in ImageSequence.Iterator(img):
+                rgba = frame.convert("RGBA")
+                if canvas is None:
+                    canvas = rgba
+                else:
+                    canvas = canvas.copy()
+                    canvas.paste(rgba, (0, 0), rgba)
                 frames.append(
-                    image_to_model_input(frame.convert("RGB"), resolution))
+                    image_to_model_input(canvas.convert("RGB"), resolution))
                 if len(frames) >= num_frames:
                     break
     if len(frames) < num_frames:

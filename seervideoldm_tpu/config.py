@@ -56,6 +56,11 @@ class Config:
     adam_epsilon: float = 1e-8
     max_grad_norm: float = 0.3
     mixed_precision: str = "bf16"  # reference default fp16; bf16 on TPU
+    # bf16 host->device wire for the video batch when the model computes in
+    # bf16 (halves transfer bytes; bf16's 0.4% step == the frames' uint8
+    # quantization).  Set false to keep the fp32 wire for parity/ablation
+    # runs where the input quantization must be expressible.
+    bf16_wire: bool = True
     use_8bit_adam: bool = False
     gradient_checkpointing: bool = False
     # EMA of trainable weights (0 disables). Beyond reference: the reference

@@ -315,7 +315,13 @@ class WindowTemporalAttention(nn.Module):
                                             swat_attention_available,
                                             swat_attention_tables)
 
+        # h/w must tile exactly into ws-windows: the kernel grid is
+        # (batch, h // ws) with a w // ws column loop, so a non-divisible
+        # latent (e.g. resolution 288 -> h=36 at ws=8) would leave the
+        # remainder rows/columns UNWRITTEN — silent garbage, unlike the
+        # XLA window_partition fallback which fails loudly on reshape.
         use_tab_kernel = (ws is not None and ws >= 8 and self.use_flash
+                          and h % ws == 0 and w % ws == 0
                           and swat_attention_available()
                           and not ring_attention_applicable())
         out = None

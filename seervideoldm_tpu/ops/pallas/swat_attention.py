@@ -312,6 +312,19 @@ def _kernel_tab(q_ref, k_ref, v_ref, cos_ref, sin_ref, o_ref, *,
 _TAB_VMEM_LIMIT = 64 * 1024 * 1024
 
 
+def _check_window_divisible(shape, ws: int) -> None:
+    """Loud guard: the kernel grids tile (h, w) into exact ws-windows; a
+    non-divisible spatial dim would leave remainder rows/columns of the
+    output UNWRITTEN (silent garbage).  Dispatchers (ops/attention.py)
+    check this before selecting the kernel; calling directly with a bad
+    shape is a programming error."""
+    _, _, h, w, _ = shape
+    if h % ws or w % ws:
+        raise ValueError(
+            f"SWAT kernel needs h % ws == 0 and w % ws == 0; got "
+            f"h={h}, w={w}, ws={ws} — use the XLA windowed path instead")
+
+
 def _swat_forward_tab(q, k, v, cos, sin, scale: float, causal: bool, ws: int):
     """Table-rotary forward. q/k/v: (B, f, h, w, d) un-rotated; cos/sin:
     fp32 (f, h, w, d) from ``ops.rotary.rotary_tables``."""
@@ -532,6 +545,7 @@ def swat_attention_tables(q, k, v, cos, sin, scale: float, causal: bool,
     UN-rotated; cos/sin fp32 (f, h, w, d) from ``ops.rotary.rotary_tables``.
     The rotation rides the kernel as table inputs instead of an XLA
     pre-rotation pass over the full q/k tensors."""
+    _check_window_divisible(q.shape, ws)
     return _swat_forward_tab(q, k, v, cos, sin, scale, causal, ws)
 
 
@@ -811,6 +825,7 @@ def _unfused_reference(q, k, v, scale, causal, ws, rot_dim):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def swat_attention(q, k, v, scale: float, causal: bool, ws: int, rot_dim: int):
     """Fused rotary+window+causal attention. q/k/v: (B, f, h, w, d)."""
+    _check_window_divisible(q.shape, ws)
     return _swat_forward(q, k, v, scale, causal, ws, rot_dim)
 
 

@@ -196,3 +196,33 @@ def test_eval_script_small_valset_flush(tmp_path):
     assert m, proc.stdout
     assert np.isfinite(float(m.group(1))), f"FVD not finite: {m.group(1)}"
     assert "Final IS" in proc.stdout, proc.stdout
+
+
+@pytest.mark.critical
+def test_plot_failure_never_kills_training(tmp_path):
+    """A wedged/failing matplotlib must never raise into the train loop:
+    the sync path swallows exceptions, the async path (reference forks a
+    separate process, train.py:400-406; ours a daemon thread) returns
+    immediately and the worker's failure stays on the worker."""
+    import train as train_mod
+    from seervideoldm_tpu.training.meters import RunningAverageMeter
+
+    m = RunningAverageMeter()
+    m.update(1.0, 0)
+    m.update(0.5, 1)
+    bad_dir = str(tmp_path / "does" / "not" / "exist")
+    train_mod.plot_graphs(m, m, bad_dir)  # must not raise
+    train_mod.plot_graphs_async(m, m, bad_dir)  # must not raise or block
+    # drain the worker so the busy-lock is released for other tests
+    for _ in range(200):
+        if train_mod._plot_busy.acquire(blocking=False):
+            train_mod._plot_busy.release()
+            break
+        import time
+
+        time.sleep(0.05)
+    else:
+        raise AssertionError("plot worker never released the busy lock")
+    # and a good dir actually produces the PNGs through the async path
+    train_mod.plot_graphs(m, m, str(tmp_path))
+    assert (tmp_path / "loss.png").exists() and (tmp_path / "lr.png").exists()

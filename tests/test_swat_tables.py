@@ -28,7 +28,7 @@ def interpret_mode():
 
 
 def _tabs(f, h, w, d):
-    return rotary_tables(f, h, w, d, min(32, d))  # (a_cos, a_sin, b_cos, b_sin)
+    return rotary_tables(f, h, w, d, min(32, d))  # (cos, sin)
 
 
 @pytest.mark.critical
@@ -121,3 +121,33 @@ def test_module_dispatches_table_path():
     got = np.asarray(mod_kernel.apply(params, x))
     want = np.asarray(mod_einsum.apply(params, x))
     np.testing.assert_allclose(got, want, atol=3e-5)
+
+
+@pytest.mark.critical
+def test_non_divisible_shapes_raise_loudly():
+    """h/w must tile exactly into ws-windows: the kernel grid is
+    (batch, h // ws) with a w // ws column loop, so e.g. resolution 288
+    (h=36, ws=8) would leave remainder rows/columns UNWRITTEN — silent
+    garbage.  Direct kernel calls must raise; the module dispatcher must
+    not select the kernel for such shapes (advisor r4 medium)."""
+    f, h, w, d, ws = 2, 12, 8, 8, 8  # h % ws == 4
+    q = jnp.zeros((1, f, h, w, d), jnp.float32)
+    tabs = _tabs(f, h, w, d)
+    with pytest.raises(ValueError, match="h % ws"):
+        swat.swat_attention_tables(q, q, q, *tabs, 1.0, True, ws)
+    with pytest.raises(ValueError, match="h % ws"):
+        swat.swat_attention(q, q, q, 1.0, True, ws, 4)
+
+    # the module never dispatches the kernel on a non-divisible latent:
+    # use_tab_kernel's h % ws / w % ws guard rejects it before the kernel
+    from seervideoldm_tpu.ops.attention import WindowTemporalAttention
+
+    mod = WindowTemporalAttention(query_dim=16, heads=2, dim_head=8)
+    x = jnp.zeros((1, 2, 36, 36, 16), jnp.float32)  # ws=8, 36 % 8 != 0
+    params = jax.eval_shape(mod.init, jax.random.PRNGKey(0),
+                            jnp.zeros((1, 2, 8, 8, 16), jnp.float32))
+    # eval_shape through the module: must NOT hit the unwritten-output
+    # kernel path; the XLA window_partition fallback fails loudly on the
+    # reshape instead (36 != 4*8) — loud beats silent garbage.
+    with pytest.raises(Exception):
+        jax.eval_shape(lambda p, v: mod.apply(p, v), params, x)

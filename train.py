@@ -14,6 +14,7 @@ async) + tensorboard logs + loss/lr PNGs.
 from __future__ import annotations
 
 import os
+import threading
 import time
 
 import jax
@@ -42,26 +43,62 @@ from seervideoldm_tpu.training.trainer import (
 )
 
 
-def plot_graphs(losses: RunningAverageMeter, lrs: RunningAverageMeter,
-                output_dir: str) -> None:
-    """Loss/LR PNGs (reference ``train.py:415-435``)."""
+def _plot_series(series, output_dir: str) -> None:
     try:
         import matplotlib
 
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
-        for meter, name in ((losses, "loss"), (lrs, "lr")):
-            if not meter.vals:
+        for steps, vals, name in series:
+            if not vals:
                 continue
             plt.figure()
-            plt.plot(meter.steps, meter.vals)
+            plt.plot(steps, vals)
             plt.xlabel("step")
             plt.ylabel(name)
             plt.savefig(os.path.join(output_dir, f"{name}.png"))
             plt.close()
     except Exception as exc:  # plotting must never kill training
         print(f"plot_graphs failed: {exc}")
+
+
+def _meter_snapshot(losses: RunningAverageMeter, lrs: RunningAverageMeter):
+    # copy the series on the caller's thread — the train loop keeps
+    # appending to the meters while the worker renders
+    return [(list(m.steps), list(m.vals), name)
+            for m, name in ((losses, "loss"), (lrs, "lr"))]
+
+
+def plot_graphs(losses: RunningAverageMeter, lrs: RunningAverageMeter,
+                output_dir: str) -> None:
+    """Loss/LR PNGs (reference ``train.py:415-435``), synchronous."""
+    _plot_series(_meter_snapshot(losses, lrs), output_dir)
+
+
+_plot_busy = threading.Lock()
+
+
+def plot_graphs_async(losses: RunningAverageMeter, lrs: RunningAverageMeter,
+                      output_dir: str) -> None:
+    """Periodic plotting off the train thread.  The reference forks
+    ``plot_graphs`` into a separate PROCESS (``train.py:400-406``) so a
+    slow or wedged matplotlib never stalls the step; a daemon thread gives
+    the same non-blocking property without the fork cost (Agg is
+    render-only, no GUI main-thread requirement).  At most one job runs at
+    a time — if the previous render is still going, this request is
+    dropped (the next log tick plots fresher data anyway)."""
+    snap = _meter_snapshot(losses, lrs)
+    if not _plot_busy.acquire(blocking=False):
+        return
+
+    def work() -> None:
+        try:
+            _plot_series(snap, output_dir)
+        finally:
+            _plot_busy.release()
+
+    threading.Thread(target=work, daemon=True, name="plot_graphs").start()
 
 
 def main() -> None:
@@ -298,7 +335,7 @@ def main() -> None:
     # dominant non-compute cost per micro-step on slow interconnects), and
     # bf16's 0.4% relative step equals the uint8 quantization the decoded
     # frames already carry.  Full-precision runs keep the fp32 wire.
-    if models.unet.dtype == jnp.bfloat16:
+    if models.unet.dtype == jnp.bfloat16 and cfg.bf16_wire:
         import ml_dtypes
 
         wire_dtype = ml_dtypes.bfloat16
@@ -435,7 +472,7 @@ def main() -> None:
                         json.dump({"epoch": epoch, "global_step": global_step,
                                    "lr_meter": lr_meter.ckpt(),
                                    "losses_train": losses_train.ckpt()}, f)
-                    plot_graphs(losses_train, lr_meter, cfg.output_dir)
+                    plot_graphs_async(losses_train, lr_meter, cfg.output_dir)
             if global_step >= cfg.max_train_steps:
                 break
         if global_step >= cfg.max_train_steps:
