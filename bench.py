@@ -13,11 +13,20 @@ inference path (``/root/reference/utils/ddim_sampling_utils.py:21-42``);
 comparison with rounds 1-2.  MFU uses the analytic matmul/conv FLOP count
 (``seervideoldm_tpu/utils/flops.py``) — the standard model-FLOPs numerator,
 NOT pre-optimization HLO cost analysis (round-2's `est_mfu` overcounted).
+
+Invoked with NO flags (the driver protocol), three rows run and land in
+``detail.modes`` so regressions in any mode stay driver-visible across
+rounds (VERDICT r4 task 6): the 512px parity headline, 256px parity (the
+reference's actual train/eval recipe resolution,
+``/root/reference/configs/train.yaml``), and PAB --pab 2 6 4 at 512px (the
+accelerated serving mode).  Any explicit flag keeps the old single-config
+behavior.
 """
 from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
 
 import jax
@@ -25,10 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main() -> None:
-    from seervideoldm_tpu.utils.cache import enable_compilation_cache
-
-    enable_compilation_cache()
+def _build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser()
     parser.add_argument("--resolution", type=int, default=512)
     parser.add_argument("--num_frames", type=int, default=12)
@@ -58,8 +64,10 @@ def main() -> None:
                         choices=["fast", "default", "max"],
                         help="XLA exec-time optimization effort; 'max' suits "
                              "a compile-once serving executable")
-    args = parser.parse_args()
+    return parser
 
+
+def bench_one(args) -> dict:
     from seervideoldm_tpu.utils.cache import set_compile_effort
 
     set_compile_effort(args.compile_effort)
@@ -224,7 +232,7 @@ def main() -> None:
         pass
     vs_baseline = value / baseline if baseline else 1.0
 
-    print(json.dumps({
+    return ({
         "metric": "frames_per_sec_per_chip",
         "value": round(value, 4),
         "unit": "frames/s/chip",
@@ -251,7 +259,52 @@ def main() -> None:
             "total_tflops_e2e": round(flops["e2e_total"] / 1e12, 1),
             "flops_method": "analytic matmul/conv count (utils/flops.py)",
         },
-    }))
+    })
+
+
+def _mode_summary(row: dict) -> dict:
+    d = row["detail"]
+    return {
+        "frames_per_sec_per_chip": row["value"],
+        "e2e_clip_latency_s": d["e2e_clip_latency_s"],
+        "latents_only_frames_per_sec_per_chip":
+            d["latents_only_frames_per_sec_per_chip"],
+        "est_mfu": d["est_mfu"],
+        "resolution": d["resolution"],
+        "pab_ranges": d["pab_ranges"],
+    }
+
+
+def main() -> None:
+    from seervideoldm_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    parser = _build_parser()
+    args = parser.parse_args()
+    if len(sys.argv) > 1:
+        # explicit flags: single-config behavior (tooling/probe usage)
+        print(json.dumps(bench_one(args)))
+        return
+
+    # driver protocol (no flags): three rows so every serving mode is
+    # regression-tracked across rounds.  Headline value/metric stay the
+    # 512px parity e2e rate; the other modes land in detail.modes.
+    print("bench row 1/3: 512px parity DDIM-50", file=sys.stderr, flush=True)
+    r512 = bench_one(parser.parse_args([]))
+    print("bench row 2/3: 256px parity DDIM-50 (reference train recipe "
+          "resolution)", file=sys.stderr, flush=True)
+    r256 = bench_one(parser.parse_args(["--resolution", "256"]))
+    print("bench row 3/3: 512px PAB 2/6/4 (accelerated serving mode)",
+          file=sys.stderr, flush=True)
+    rpab = bench_one(parser.parse_args(["--pab", "2", "6", "4"]))
+    out = dict(r512)
+    out["detail"] = dict(r512["detail"])
+    out["detail"]["modes"] = {
+        "512px_parity_ddim50": _mode_summary(r512),
+        "256px_parity_ddim50": _mode_summary(r256),
+        "512px_pab_2_6_4": _mode_summary(rpab),
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -140,6 +140,75 @@ class _GEGLUParams(nn.Module):
                             self.param_dtype, name="proj")()
 
 
+class _LNParams(nn.Module):
+    """Parameter shell matching ops/norms.LayerNorm's tree ({scale,bias})."""
+
+    features: int
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,),
+                           self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          self.param_dtype)
+        return scale, bias
+
+
+class _FFParams(nn.Module):
+    """Parameter shell matching FeedForward's tree (net_0/proj/*, net_2/*)."""
+
+    dim: int
+    mult: int = 4
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        inner = int(self.dim * self.mult)
+        w1, b1 = _GEGLUParams(self.dim, inner * 2, self.param_dtype,
+                              name="net_0")()
+        w2, b2 = _DenseParams(inner, self.dim, self.param_dtype,
+                              name="net_2")()
+        return w1, b1, w2, b2
+
+
+def _ln_ff_residual(dim: int, kw: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """``x + FeedForward(LayerNorm(x))`` with the LN prologue and residual
+    epilogue fused into the GEGLU kernel when supported
+    (ops/pallas/geglu_ff.py::ln_geglu_ff): the LN output and the residual
+    re-read never round-trip HBM — two full passes saved per FF site at
+    zero extra traffic (the residual is the kernel's own input block).
+
+    Must be called from within a parent module's ``@nn.compact __call__``.
+    Both paths create the IDENTICAL param tree (norm3/{scale,bias},
+    ff/net_0/proj/*, ff/net_2/*) — checkpoints are interchangeable.
+    Reference semantics: ``seer/models/attention.py:241-246, 325-327``."""
+    from ..ops.pallas import get_activation_mesh, pallas_enabled
+    from ..ops.pallas.geglu_ff import ln_geglu_ff, ln_geglu_ff_preferred
+
+    dtype, param_dtype = kw["dtype"], kw["param_dtype"]
+    inner = dim * 4
+    lead, c = x.shape[:-1], x.shape[-1]
+    n = 1
+    for s in lead:
+        n *= int(s)
+    # the fused kernel is an opaque custom call GSPMD cannot partition;
+    # any registered mesh keeps the XLA path (sharding-friendly).
+    # ln_geglu_ff_preferred also gates on channel width: at c=640 the LN
+    # fusion is noise-to-negative on-chip, so those sites keep the
+    # LayerNorm + FeedForward chain (plain geglu_ff kernel inside).
+    if (c == dim and pallas_enabled() and get_activation_mesh() is None
+            and ln_geglu_ff_preferred(n, c, inner, x.dtype)):
+        scale, bias = _LNParams(c, param_dtype, name="norm3")()
+        w1, b1, w2, b2 = _FFParams(dim, param_dtype=param_dtype, name="ff")()
+        w1, b1, w2, b2 = nn.dtypes.promote_dtype(
+            w1, b1, w2, b2, dtype=dtype)
+        out = ln_geglu_ff(x.reshape(n, c), scale, bias, w1, b1, w2, b2)
+        return checkpoint_name(out.reshape(*lead, c), "ff_out")
+    return FeedForward(dim, name="ff", **kw)(
+        LayerNorm(param_dtype=param_dtype, name="norm3")(x)) + x
+
+
 class FeedForward(nn.Module):
     """GEGLU(dim -> 4*dim) -> Dense(4*dim -> dim). Names mirror torch ff.net.{0,2}.
 
@@ -267,9 +336,7 @@ class BasicTextTransformerBlock3D(nn.Module):
                     self, "attn2_delta", pab[CROSS],
                     lambda: attn2(norm2(x_cross), context=ctx),
                 ) + x
-        x = FeedForward(self.dim, name="ff", **kw)(
-            LayerNorm(param_dtype=self.param_dtype, name="norm3")(x)
-        ) + x
+        x = _ln_ff_residual(self.dim, kw, x)
         return x.reshape(b, f, h, w, c)
 
 
@@ -325,15 +392,13 @@ class BasicTransformerBlock3D(nn.Module):
                 x = _pab_residual(
                     self, "attn1_delta", pab[TEMPORAL], compute_delta
                 ) + x
-            ff = FeedForward(self.dim, name="ff", **kw)
-            norm3 = LayerNorm(param_dtype=self.param_dtype, name="norm3")
             if cond_frame > 0:
                 # cond-frame tokens bypass the FF residual (attention.py:241-246)
                 x0, rest = x[:, : cond_frame * h * w], x[:, cond_frame * h * w :]
-                rest = ff(norm3(rest)) + rest
+                rest = _ln_ff_residual(self.dim, kw, rest)
                 x = jnp.concatenate([x0, rest], axis=1)
             else:
-                x = ff(norm3(x)) + x
+                x = _ln_ff_residual(self.dim, kw, x)
             return x.reshape(b, f, h, w, c)
 
         # non-temporal variant (unused by the live SeerUNet config)
@@ -356,9 +421,7 @@ class BasicTransformerBlock3D(nn.Module):
                 name="attn2",
                 **kw,
             )(LayerNorm(param_dtype=self.param_dtype, name="norm2")(x), context=context) + x
-        x = FeedForward(self.dim, name="ff", **kw)(
-            LayerNorm(param_dtype=self.param_dtype, name="norm3")(x)
-        ) + x
+        x = _ln_ff_residual(self.dim, kw, x)
         return x.reshape(b, f, h, w, c)
 
 

@@ -44,6 +44,23 @@ except Exception:  # pragma: no cover
 _W_VMEM_BUDGET = 12 * 1024 * 1024
 _TOKEN_BLOCK = 512
 _INNER_BLOCK = 256
+# Working-set planning budget + the matching Mosaic scoped-vmem limit.
+# Mosaic's default scoped budget is 16 MB but v5e has 128 MB of VMEM; the
+# LN-fused variant's fp32 prologue temporaries pushed the c=640 site into
+# the ~15%-slower chunked form under the old 14 MB plan.  Swept on-chip
+# (/tmp sweep, STATUS r5): bt=512 single-shot wins at BOTH kernel sites —
+# L1 1.640 ms (vs 1.743 chunked bt=256, 1.689 unfused chain) and L0
+# 2.412 — so the plan budget admits bt=512 at c=640 (28 MB working set)
+# and the Mosaic limit matches what the sweep compiled under.
+_PLAN_BUDGET = 30 * 1024 * 1024
+_VMEM_LIMIT = 96 * 1024 * 1024
+# LN-fusion channel gate, measurement-driven (tools/microbench_ln_ff.py):
+# at c=320 the fused LN prologue + residual epilogue wins consistently
+# (2.42 vs 2.55-3.00 ms, +7..24%); at c=640 it is inside run-to-run noise
+# and trends NEGATIVE (1.73 vs 1.56-1.69) — the serial LN prologue eats
+# the pipelining slack the bigger weight stream needs.  Sites above the
+# gate keep the LayerNorm + plain-geglu_ff chain.
+_LN_FUSE_MAX_C = 320
 
 
 def _erf_as(z: jnp.ndarray) -> jnp.ndarray:
@@ -61,9 +78,10 @@ def _gelu_approx_f32(z: jnp.ndarray) -> jnp.ndarray:
     return 0.5 * z * (1.0 + _erf_as(z * np.float32(1.0 / math.sqrt(2.0))))
 
 
-def _kernel(x_ref, w1h_ref, b1h_ref, w1g_ref, b1g_ref, w2_ref, b2_ref,
-            o_ref, *, inner: int, ic: int):
-    x = x_ref[...]  # (bt, c) bf16
+def _ff_core(x, w1h_ref, b1h_ref, w1g_ref, b1g_ref, w2_ref, *, inner: int,
+             ic: int, out_shape):
+    """x@W1h/W1g -> h*gelu(g) -> @W2 over a VMEM-resident token block,
+    chunked along inner when the single-shot working set would not fit."""
 
     def chunk(lo, width):
         # mirror the XLA Dense epilogue: f32 accumulation, bf16 output +
@@ -80,12 +98,41 @@ def _kernel(x_ref, w1h_ref, b1h_ref, w1g_ref, b1g_ref, w2_ref, b2_ref,
 
     if ic >= inner:
         # single shot: three fat matmuls, nothing chunked
-        acc = chunk(0, inner)
-    else:
-        acc = jnp.zeros(o_ref.shape, jnp.float32)
-        acc = jax.lax.fori_loop(
-            0, inner // ic, lambda i, a: a + chunk(i * ic, ic), acc)
+        return chunk(0, inner)
+    acc = jnp.zeros(out_shape, jnp.float32)
+    return jax.lax.fori_loop(
+        0, inner // ic, lambda i, a: a + chunk(i * ic, ic), acc)
+
+
+def _kernel(x_ref, w1h_ref, b1h_ref, w1g_ref, b1g_ref, w2_ref, b2_ref,
+            o_ref, *, inner: int, ic: int):
+    x = x_ref[...]  # (bt, c) bf16
+    acc = _ff_core(x, w1h_ref, b1h_ref, w1g_ref, b1g_ref, w2_ref,
+                   inner=inner, ic=ic, out_shape=o_ref.shape)
     o_ref[...] = acc.astype(o_ref.dtype) + b2_ref[0][None, :]
+
+
+def _kernel_ln(x_ref, g_ref, bt_ref, w1h_ref, b1h_ref, w1g_ref, b1g_ref,
+               w2_ref, b2_ref, o_ref, *, inner: int, ic: int, eps: float):
+    """Fused pre-LayerNorm prologue + residual epilogue around _ff_core.
+
+    The FF sites all compute ``x + FF(LN(x))`` (transformer3d.py): the
+    residual IS the kernel's own input block, so fusing both ends costs
+    ZERO extra HBM traffic and saves two full round trips per site — the
+    LN output write+read and the residual add's re-read of x.  LN numerics
+    mirror ops/norms.LayerNorm: fp32 stats over the channel axis, affine
+    in fp32, cast back to the compute dtype (bf16) for the matmuls."""
+    xb = x_ref[...]  # (bt, c) bf16
+    x32 = xb.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    cen = x32 - mean
+    var = jnp.mean(cen * cen, axis=-1, keepdims=True)
+    ln = cen * jax.lax.rsqrt(var + eps)
+    ln = ln * g_ref[0][None, :] + bt_ref[0][None, :]
+    x = ln.astype(xb.dtype)
+    acc = _ff_core(x, w1h_ref, b1h_ref, w1g_ref, b1g_ref, w2_ref,
+                   inner=inner, ic=ic, out_shape=o_ref.shape)
+    o_ref[...] = (acc.astype(o_ref.dtype) + b2_ref[0][None, :]) + xb
 
 
 def _reference(x, w1, b1, w2, b2):
@@ -97,13 +144,13 @@ def _reference(x, w1, b1, w2, b2):
     return (a @ w2).astype(x.dtype) + b2.astype(x.dtype)
 
 
-def _pick_blocks(n: int, c: int, inner: int):
+def _pick_blocks(n: int, c: int, inner: int, ln: bool = False):
     """Largest (token block, inner chunk) whose working set fits VMEM.
 
     Prefers the single-shot form (ic == inner: three fat matmuls, no chunk
     loop) — the chunked loop's thin matmuls measured ~15% slower at the
     L0 shape."""
-    budget = 14 * 1024 * 1024
+    budget = _PLAN_BUDGET
     w_bytes = (c * 2 * inner + inner * c) * 2
     for bt in (512, 256, 128):
         if n % bt != 0:
@@ -113,6 +160,8 @@ def _pick_blocks(n: int, c: int, inner: int):
                 continue
             # x + out (double-buffered bf16) + f32 acc + f32 h,g + bf16 a
             per_tok = 8 * c + 10 * ic + (4 * c if ic < inner else 0)
+            if ln:
+                per_tok += 8 * c  # fp32 x32/centered LN temporaries
             if w_bytes + bt * per_tok <= budget:
                 return bt, ic
     return None, None
@@ -163,6 +212,9 @@ def _geglu_ff_fwd_impl(x, w1, b1, w2, b2):
         ],
         out_specs=pl.BlockSpec((bt, c), lambda t: (t, 0)),
         out_shape=jax.ShapeDtypeStruct((n, c), x.dtype),
+        compiler_params=None if pltpu is None else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
     )(x, w1h, b1h, w1g, b1g, w2, b2r)
 
 
@@ -199,3 +251,90 @@ def _bwd(res, dy):
 
 
 geglu_ff.defvjp(_fwd, _bwd)
+
+
+_LN_EPS = 1e-5  # ops/norms.LayerNorm default (torch parity)
+
+
+def _ln_reference(x, gamma, beta, w1, b1, w2, b2):
+    """Exact-erf XLA path for x + FF(LN(x)) — numerics of
+    ops/norms.LayerNorm (fp32 island) -> GEGLU FeedForward -> residual."""
+    x32 = x.astype(jnp.float32)
+    mean = x32.mean(axis=-1, keepdims=True)
+    var = x32.var(axis=-1, keepdims=True)
+    ln = (x32 - mean) / jnp.sqrt(var + _LN_EPS)
+    ln = ln * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+    return _reference(ln.astype(x.dtype), w1, b1, w2, b2) + x
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def ln_geglu_ff(x, gamma, beta, w1, b1, w2, b2):
+    """x + FF(LN(x)) fused: (n, c) bf16 -> (n, c); gamma/beta fp32 (c,).
+
+    The transformer FF sites all read ``x + FeedForward(LayerNorm(x))``
+    (transformer3d.py); fusing the LN prologue and the residual epilogue
+    into the GEGLU kernel removes two full HBM round trips per site at
+    zero extra traffic — the residual is the kernel's own input block.
+    Reference semantics: ``seer/models/attention.py:241-246, 325-327``
+    (norm3 -> ff -> residual)."""
+    return _ln_geglu_ff_impl(x, gamma, beta, w1, b1, w2, b2)
+
+
+def ln_geglu_ff_preferred(n: int, c: int, inner: int, dtype) -> bool:
+    """Whether the LN-fused kernel is the measured winner at this site;
+    callers keeping checkpoints interchangeable should otherwise run the
+    LayerNorm + FeedForward chain (which still dispatches the plain
+    geglu_ff kernel where supported)."""
+    return c <= _LN_FUSE_MAX_C and geglu_ff_supported(n, c, inner, dtype)
+
+
+def _ln_geglu_ff_impl(x, gamma, beta, w1, b1, w2, b2):
+    n, c = x.shape
+    inner = w2.shape[0]
+    if not geglu_ff_supported(n, c, inner, x.dtype):
+        return _ln_reference(x, gamma, beta, w1, b1, w2, b2)
+    bt, ic = _pick_blocks(n, c, inner, ln=True)
+    if bt is None:
+        return _ln_reference(x, gamma, beta, w1, b1, w2, b2)
+    w1h, w1g = w1[:, :inner], w1[:, inner:]
+    b1h = b1[None, :inner].astype(x.dtype)
+    b1g = b1[None, inner:].astype(x.dtype)
+    b2r = b2[None, :].astype(x.dtype)
+    g32 = gamma[None, :].astype(jnp.float32)
+    bt32 = beta[None, :].astype(jnp.float32)
+    grid = (n // bt,)
+    return pl.pallas_call(
+        functools.partial(_kernel_ln, inner=inner, ic=ic, eps=_LN_EPS),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bt, c), lambda t: (t, 0)),
+            pl.BlockSpec((1, c), lambda t: (0, 0)),
+            pl.BlockSpec((1, c), lambda t: (0, 0)),
+            pl.BlockSpec((c, inner), lambda t: (0, 0)),
+            pl.BlockSpec((1, inner), lambda t: (0, 0)),
+            pl.BlockSpec((c, inner), lambda t: (0, 0)),
+            pl.BlockSpec((1, inner), lambda t: (0, 0)),
+            pl.BlockSpec((inner, c), lambda t: (0, 0)),
+            pl.BlockSpec((1, c), lambda t: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bt, c), lambda t: (t, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, c), x.dtype),
+        compiler_params=None if pltpu is None else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+    )(x, g32, bt32, w1h, b1h, w1g, b1g, w2, b2r)
+
+
+def _ln_fwd(x, gamma, beta, w1, b1, w2, b2):
+    return (_ln_geglu_ff_impl(x, gamma, beta, w1, b1, w2, b2),
+            (x, gamma, beta, w1, b1, w2, b2))
+
+
+def _ln_bwd(res, dy):
+    """Exact-erf XLA backward through LN + FF + residual, intermediates
+    recomputed (flash-style: only the inputs are saved)."""
+    _, vjp = jax.vjp(_ln_reference, *res)
+    return vjp(dy)
+
+
+ln_geglu_ff.defvjp(_ln_fwd, _ln_bwd)

@@ -51,6 +51,11 @@ NEG_INF = -1e30
 # 1.26x at 512px-L0 (4.26 -> 3.38 ms) and 1.23x at L1; 64/384/768 worse.
 _GROUP_ROWS = 256
 
+# Forward per-fori-iteration slice width target (columns of w processed
+# per loop step).  Bigger slices amortize loop/DMA-index overhead against
+# more VMEM stack; sweepable via tools/probe_swat_slice.py.
+_SLICE_TARGET = 8
+
 # Test hook: interpreter mode (CPU).
 _INTERPRET = False
 # Force the unfused XLA path (see flash_attention._DISABLE).
@@ -61,6 +66,19 @@ def swat_attention_available() -> bool:
     if _DISABLE:
         return False
     return _INTERPRET or (_HAS_PLTPU and jax.default_backend() in ("tpu", "axon"))
+
+
+def _slice_width(w: int, ws: int) -> int:
+    """Columns per forward fori_loop iteration: a multiple of ws (windows
+    split statically inside the slice), dividing w exactly, and 8-aligned
+    unless a single slice covers all of w (Mosaic dynamic sublane indices
+    must be multiples of 8; the single-slice case indexes statically).
+    Largest such width <= max(_SLICE_TARGET, ws); falls back to the
+    historical min(max(ws, 8), w) when no candidate qualifies."""
+    cands = [sw for sw in range(ws, w + 1, ws)
+             if w % sw == 0 and (sw % 8 == 0 or sw == w)
+             and sw <= max(_SLICE_TARGET, ws)]
+    return max(cands) if cands else min(max(ws, 8), w)
 
 
 def _rotate_half_roll(x: jnp.ndarray) -> jnp.ndarray:
@@ -107,8 +125,8 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool,
     tril = cols_t <= rows_t
 
     # Mosaic requires dynamic sublane indices to be multiples of 8: slice
-    # 8-wide chunks of the w axis and split windows statically inside.
-    sw = min(max(ws, 8), w)
+    # 8-aligned chunks of the w axis and split windows statically inside.
+    sw = _slice_width(w, ws)
     wins_per_slice = sw // ws
 
     def body(c, _):
@@ -226,7 +244,7 @@ def _kernel_tab(q_ref, k_ref, v_ref, cos_ref, sin_ref, o_ref, *,
     cols_t = jax.lax.broadcasted_iota(jnp.int32, (tokens, tokens), 1)
     tril = cols_t <= rows_t
 
-    sw = min(max(ws, 8), w)
+    sw = _slice_width(w, ws)
     wins_per_slice = sw // ws
 
     def body(c, _):

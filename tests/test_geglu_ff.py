@@ -134,3 +134,145 @@ def test_supported_gate():
 
     # CPU backend -> never
     assert not geglu_ff_supported(512, 320, 1280, jnp.bfloat16)
+
+
+# ---- fused LN prologue + residual epilogue (ln_geglu_ff) ----
+
+from seervideoldm_tpu.ops.pallas.geglu_ff import (  # noqa: E402
+    _kernel_ln, _ln_reference, ln_geglu_ff, _LN_EPS)
+
+
+def _ln_args(n, c, dtype=jnp.bfloat16):
+    inner = 4 * c
+    return [_rand((n, c), 10).astype(dtype),
+            (1.0 + 0.1 * _rand((c,), 11)).astype(jnp.float32),
+            (0.1 * _rand((c,), 12)).astype(jnp.float32),
+            _rand((c, 2 * inner), 13).astype(dtype),
+            _rand((2 * inner,), 14).astype(dtype),
+            _rand((inner, c), 15).astype(dtype),
+            _rand((c,), 16).astype(dtype)]
+
+
+def _run_kernel_ln_interpret(x, gamma, beta, w1, b1, w2, b2, bt=128, ic=128):
+    n, c = x.shape
+    inner = w2.shape[0]
+    w1h, w1g = w1[:, :inner], w1[:, inner:]
+    b1h = b1[None, :inner].astype(x.dtype)
+    b1g = b1[None, inner:].astype(x.dtype)
+    b2r = b2[None, :].astype(x.dtype)
+    g32 = gamma[None, :].astype(jnp.float32)
+    bt32 = beta[None, :].astype(jnp.float32)
+    rep = lambda shp: pl.BlockSpec(shp, lambda t: tuple(0 for _ in shp))  # noqa: E731
+    return pl.pallas_call(
+        functools.partial(_kernel_ln, inner=inner, ic=ic, eps=_LN_EPS),
+        grid=(n // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, c), lambda t: (t, 0)),
+            rep((1, c)), rep((1, c)),
+            rep((c, inner)), rep((1, inner)),
+            rep((c, inner)), rep((1, inner)),
+            rep((inner, c)), rep((1, c)),
+        ],
+        out_specs=pl.BlockSpec((bt, c), lambda t: (t, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, c), x.dtype),
+        interpret=True,
+    )(x, g32, bt32, w1h, b1h, w1g, b1g, w2, b2r)
+
+
+@pytest.mark.critical
+@pytest.mark.parametrize("dtype,tol", [(jnp.float32, 2e-5),
+                                       (jnp.bfloat16, 5e-2)])
+def test_ln_kernel_matches_reference_interpret(dtype, tol):
+    args = _ln_args(256, 32, dtype)
+    out = _run_kernel_ln_interpret(*args)
+    ref = _ln_reference(*args)
+    ref32 = ref.astype(jnp.float32)
+    diff = jnp.max(jnp.abs(out.astype(jnp.float32) - ref32))
+    rel = float(diff) / float(jnp.max(jnp.abs(ref32)))
+    assert rel < tol, (float(diff), rel)
+
+
+def test_ln_reference_matches_unfused_module_chain():
+    """_ln_reference == LayerNorm -> FeedForward(XLA) -> residual, the
+    exact chain _ln_ff_residual's fallback path runs."""
+    from seervideoldm_tpu.models import transformer3d as t3d
+    from seervideoldm_tpu.ops.norms import LayerNorm
+
+    dim = 16
+    x = _rand((128, dim), 20, jnp.bfloat16)
+    ln = LayerNorm()
+    ff = t3d.FeedForward(dim, dtype=jnp.bfloat16)
+    pl_ = ln.init(jax.random.PRNGKey(1), x)
+    pf = ff.init(jax.random.PRNGKey(2), x)
+    want = ff.apply(pf, ln.apply(pl_, x)) + x
+
+    w1 = pf["params"]["net_0"]["proj"]["kernel"].astype(jnp.bfloat16)
+    b1 = pf["params"]["net_0"]["proj"]["bias"].astype(jnp.bfloat16)
+    w2 = pf["params"]["net_2"]["kernel"].astype(jnp.bfloat16)
+    b2 = pf["params"]["net_2"]["bias"].astype(jnp.bfloat16)
+    got = _ln_reference(x, pl_["params"]["scale"], pl_["params"]["bias"],
+                        w1, b1, w2, b2)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_ln_custom_vjp_matches_autodiff_of_reference():
+    args = _ln_args(64, 16, jnp.float32)
+
+    def loss_fused(*a):
+        return jnp.sum(jnp.sin(ln_geglu_ff(*a)))
+
+    def loss_ref(*a):
+        return jnp.sum(jnp.sin(_ln_reference(*a)))
+
+    g_fused = jax.grad(loss_fused, argnums=tuple(range(7)))(*args)
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(7)))(*args)
+    for gf, gr in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_ln_ff_residual_param_tree_identical_and_function_equal(monkeypatch):
+    """Force the fused branch on CPU (route ln_geglu_ff through the XLA
+    reference) and pin: same param tree as the unfused norm3+ff chain,
+    same outputs, for BOTH block types that use _ln_ff_residual."""
+    from seervideoldm_tpu.models import transformer3d as t3d
+    from seervideoldm_tpu.ops.pallas import geglu_ff as gmod
+
+    dim, heads, dh = 16, 2, 8
+    x5 = _rand((1, 4, 8, 8, dim), 30, jnp.bfloat16)
+    ctx = _rand((1, 4, 7, dim), 31, jnp.bfloat16)
+
+    def build_and_run():
+        outs, trees = [], []
+        blk = t3d.BasicTextTransformerBlock3D(
+            dim, heads, dh, context_dim=dim, dtype=jnp.bfloat16)
+        p = blk.init(jax.random.PRNGKey(3), x5, ctx)
+        trees.append(p)
+        outs.append(blk.apply(p, x5, ctx))
+        blk = t3d.BasicTransformerBlock3D(
+            dim, heads, dh, temporal=True, causal=True, cond_frame=1,
+            dtype=jnp.bfloat16)
+        p = blk.init(jax.random.PRNGKey(4), x5)
+        trees.append(p)
+        outs.append(blk.apply(p, x5))
+        return outs, trees
+
+    outs_plain, trees_plain = build_and_run()
+
+    monkeypatch.setattr(gmod, "geglu_ff_supported", lambda *a, **k: True)
+    monkeypatch.setattr(gmod, "ln_geglu_ff", gmod._ln_reference)
+    monkeypatch.setattr(gmod, "geglu_ff", gmod._reference)
+    outs_fused, trees_fused = build_and_run()
+
+    for tp, tf in zip(trees_plain, trees_fused):
+        fa = jax.tree_util.tree_flatten_with_path(tp)[0]
+        fb = jax.tree_util.tree_flatten_with_path(tf)[0]
+        assert [p for p, _ in fa] == [p for p, _ in fb]
+        for (_, a), (_, b) in zip(fa, fb):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for op, of in zip(outs_plain, outs_fused):
+        np.testing.assert_allclose(np.asarray(of, np.float32),
+                                   np.asarray(op, np.float32),
+                                   rtol=2e-2, atol=2e-2)

@@ -34,6 +34,7 @@ from seervideoldm_tpu.utils.cache import enable_compilation_cache
 
 N_INNER = 20
 PEAK = 197e12  # v5e bf16
+HBM_BW = 819e9  # v5e HBM bandwidth
 
 
 def bench_scan(apply_fn, params, x, iters=3):
@@ -81,6 +82,29 @@ def attn_mm(bh: float, n: float, m: float, d: int) -> float:
     """ms of QK^T + P@V at d-occupancy-derated peak."""
     fl = 2.0 * bh * n * m * d * 2
     return fl / (PEAK * occ(d)) * 1e3
+
+
+def hbm_ms(elems: float, n_passes: float, bytes_per: int = 2) -> float:
+    """ms to move elems*bytes_per bytes n_passes times at HBM bandwidth."""
+    return elems * bytes_per * n_passes / HBM_BW * 1e3
+
+
+def resnet_floor(tokens: float, cin: int, cout: int) -> float:
+    """Analytic resnet-block floor: both 3x3 convs (+ the 1x1 shortcut when
+    cin != cout) as matmuls at occupancy-derated peak, PLUS the unavoidable
+    HBM passes of the two fp32-GN islands and the residual add.
+
+    The convs' own input/output traffic overlaps the MXU (they are
+    compute-bound at these channel widths), so only the NON-conv passes
+    count as bandwidth floor: GN1 read+write over cin, GN2 read+write over
+    cout, residual read of x (cin) + final write (cout).  SiLU and the
+    temb broadcast-add fuse into their neighbors.  models/resnet3d.py."""
+    mm = lin(tokens, 9 * cin, cout) + lin(tokens, 9 * cout, cout)
+    if cin != cout:
+        mm += lin(tokens, cin, cout)
+    bw = (hbm_ms(tokens * cin, 2) + hbm_ms(tokens * cout, 2)
+          + hbm_ms(tokens * cin, 1) + hbm_ms(tokens * cout, 1))
+    return mm + bw
 
 
 def softmax_s_per_elem(iters=3) -> float:
@@ -263,10 +287,11 @@ def main():
                    + lin(bf * s, c, 4 * c) * 2 + lin(bf * s, 4 * c, c))
         sm_temp = sm_per_elem * (groups * n_t * m_t) * 0.5 * 1e3
 
-        fl_res = None  # convs measured near peak already (STATUS r2)
         rows.append(dict(level=f"L{lvl}", hw=hw, ch=c, d=d,
                          n_triplets=n_attn,
                          res_down_ms=t_res * 1e3, res_up_ms=t_res_up * 1e3,
+                         res_down_floor_ms=resnet_floor(bf * s, c, c),
+                         res_up_floor_ms=resnet_floor(bf * s, 2 * c, c),
                          text_ms=t_text * 1e3, temp_ms=t_temp * 1e3,
                          text_floor_ms=fl_text + sm_text,
                          temp_floor_ms=fl_temp + sm_temp,
@@ -303,12 +328,14 @@ def main():
     for r in rows:
         n_down, n_up = L, L + 1
         res_total = n_down * r["res_down_ms"] + n_up * r["res_up_ms"]
+        res_floor = (n_down * r["res_down_floor_ms"]
+                     + n_up * r["res_up_floor_ms"])
         text_total = r["n_triplets"] * r["text_ms"]
         temp_total = r["n_triplets"] * r["temp_ms"]
         total += res_total + text_total + temp_total
         print(f"{r['level']+' resnet':<22}{n_down+n_up:>6}"
               f"{(res_total/(n_down+n_up)):>9.2f}{res_total:>8.1f}"
-              f"{'-':>8}{'-':>10}")
+              f"{res_floor:>8.1f}{res_total/res_floor:>10.2f}")
         print(f"{r['level']+' text-attn':<22}{r['n_triplets']:>6}"
               f"{r['text_ms']:>9.2f}{text_total:>8.1f}"
               f"{r['n_triplets']*r['text_floor_ms']:>8.1f}"
@@ -318,13 +345,36 @@ def main():
               f"{r['n_triplets']*r['temp_floor_ms']:>8.1f}"
               f"{r['temp_ms']/r['temp_floor_ms']:>10.2f}")
     # L3: down 2 + up 3 resnets; mid: 2 resnets + 1 attn pair
-    l3_res = (L + (L + 1) + 2) * t_res3 * 1e3
+    n_res3 = L + (L + 1) + 2
+    l3_res = n_res3 * t_res3 * 1e3
     mid_attn = (t_text3 + t_temp3) * 1e3
+    # mid attn floors at the deepest hw (c=1280, d=160)
+    s3 = hw * hw
+    bf = b * f
+    fl_text3 = (lin(bf * s3, c, c) * 2 + lin(bf * s3, c, c) * 4
+                + attn_mm(bf * heads, s3, s3, d)
+                + lin(bf * s3, c, c) * 2 + lin(bf * 77, 768, c) * 2
+                + attn_mm(bf * heads, s3, 77, d)
+                + lin(bf * s3, c, 4 * c) * 2 + lin(bf * s3, 4 * c, c)
+                + sm_per_elem * (bf * heads * s3 * s3) * 1e3)
+    if hw <= 4:
+        n_t3, m_t3, groups3 = f * s3, f * s3, b * heads
+    else:
+        ws3 = 8 if hw // 8 >= 4 else 4
+        n_t3 = m_t3 = f * ws3 * ws3
+        groups3 = b * heads * s3 // (ws3 * ws3)
+    fl_temp3 = (lin(bf * s3, c, c) * 2 + lin(bf * s3, c, c) * 4
+                + attn_mm(groups3, n_t3, m_t3, d) * 0.5
+                + lin(bf * s3, c, 4 * c) * 2 + lin(bf * s3, 4 * c, c)
+                + sm_per_elem * (groups3 * n_t3 * m_t3) * 0.5 * 1e3)
+    fl_res3 = resnet_floor(bf * s3, c, c)
+    mid_floor = fl_text3 + fl_temp3
     total += l3_res + mid_attn
-    print(f"{'L3+mid resnet':<22}{L+L+1+2:>6}{t_res3*1e3:>9.2f}"
-          f"{l3_res:>8.1f}{'-':>8}{'-':>10}")
+    print(f"{'L3+mid resnet':<22}{n_res3:>6}{t_res3*1e3:>9.2f}"
+          f"{l3_res:>8.1f}{n_res3*fl_res3:>8.1f}"
+          f"{t_res3*1e3/fl_res3:>10.2f}")
     print(f"{'mid attn pair':<22}{1:>6}{mid_attn:>9.2f}{mid_attn:>8.1f}"
-          f"{'-':>8}{'-':>10}")
+          f"{mid_floor:>8.1f}{mid_attn/mid_floor:>10.2f}")
     residual = step_ms - total
     print(f"{'SUM of isolated sites':<22}{'':>6}{'':>9}{total:>8.1f}")
     print(f"{'measured in-graph step':<22}{'':>6}{'':>9}{step_ms:>8.1f}")
@@ -348,14 +398,28 @@ def main():
     gap = sum(r["n_triplets"] * (r["text_ms"] - r["text_floor_ms"]
                                  + r["temp_ms"] - r["temp_floor_ms"])
               for r in rows)
+    gap += mid_attn - mid_floor
+    res_gap = sum(L * (r["res_down_ms"] - r["res_down_floor_ms"])
+                  + (L + 1) * (r["res_up_ms"] - r["res_up_floor_ms"])
+                  for r in rows)
+    res_gap += n_res3 * (t_res3 * 1e3 - fl_res3)
     scale = step_ms / total
+    floor_sum = total - gap - res_gap
     print(f"\nattention actual-minus-floor: {gap:.1f} ms isolated, "
           f"~{gap*scale:.1f} ms in-graph "
           f"({100*gap*scale/step_ms:.1f}% of the step)")
+    print(f"resnet actual-minus-floor: {res_gap:.1f} ms isolated, "
+          f"~{res_gap*scale:.1f} ms in-graph "
+          f"({100*res_gap*scale/step_ms:.1f}% of the step)")
+    print(f"every-row floor sum: {floor_sum:.1f} ms -> step/floor = "
+          f"{step_ms/floor_sum:.3f} (slack {100*(step_ms-floor_sum*scale)/step_ms:.1f}%"
+          f" in-graph)")
     if args.json:
         print(json.dumps({"step_ms": step_ms, "site_sum_ms": total,
                           "residual_ms": residual, "attn_headroom_ms": gap,
                           "attn_headroom_ingraph_ms": gap * scale,
+                          "resnet_headroom_ms": res_gap,
+                          "floor_sum_ms": floor_sum,
                           "sm_ps_per_elem": sm_per_elem * 1e12,
                           "rows": rows}))
 
