@@ -61,6 +61,12 @@ class Config:
     # quantization).  Set false to keep the fp32 wire for parity/ablation
     # runs where the input quantization must be expressible.
     bf16_wire: bool = True
+    # VAE posterior handling during training: True (reference parity — the
+    # torch trainer samples latent_dist) draws a fresh latent per epoch;
+    # False encodes the posterior MEAN (the diffusers train-script knob of
+    # the same name) — deterministic targets, required for single-clip
+    # overfit proofs (tools/overfit_one_clip.py).
+    vae_sample_posterior: bool = True
     use_8bit_adam: bool = False
     gradient_checkpointing: bool = False
     # EMA of trainable weights (0 disables). Beyond reference: the reference

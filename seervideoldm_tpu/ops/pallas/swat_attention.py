@@ -53,8 +53,14 @@ _GROUP_ROWS = 256
 
 # Forward per-fori-iteration slice width target (columns of w processed
 # per loop step).  Bigger slices amortize loop/DMA-index overhead against
-# more VMEM stack; sweepable via tools/probe_swat_slice.py.
-_SLICE_TARGET = 8
+# more VMEM stack (statically-unrolled windows + static output stores the
+# DMA pipeliner can schedule).  Swept on-chip (tools/probe_swat_slice.py):
+# 64 = whole strip in ONE static body — L1 kernel 0.901 -> 0.688 ms
+# (1.31x), L0 3.353 -> 3.263 ms (1.03x); parity-neutral (the slice width
+# only batches the same per-window computations).  The r2-era "unrolled
+# loop OOMs the stack" no longer holds with the grouped-causal
+# decomposition's smaller temporaries.
+_SLICE_TARGET = 64
 
 # Test hook: interpreter mode (CPU).
 _INTERPRET = False

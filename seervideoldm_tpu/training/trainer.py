@@ -81,11 +81,20 @@ def combine_params(trainable: dict, frozen: dict) -> dict:
     return tu.unflatten_dict(flat)
 
 
-def prepare_batch_fn(models) -> Callable:
+def prepare_batch_fn(models, sample_posterior: bool = True) -> Callable:
     """Jitted frozen-encoder pass: (video, ids, mask, rng) -> latent batch.
 
     video: (b, f, h, w, 3) in [-1, 1]; returns dict with ``latents_x0``
     (cond frames), ``latents`` (future frames), ``clip_emb``.
+
+    ``sample_posterior=False`` (config ``vae_sample_posterior``) encodes
+    the posterior MEAN instead of a draw — the diffusers train-script
+    knob of the same name.  Default True is reference parity (the torch
+    trainer samples ``latent_dist``); the deterministic form is the one
+    that makes single-clip overfit proofs converge
+    (tools/overfit_one_clip.py): at random VAE init the posterior noise
+    exceeds the signal, so sampled targets put an irreducible floor on
+    the eps loss.
     """
     clip, vae = models.clip, models.vae
 
@@ -100,7 +109,8 @@ def prepare_batch_fn(models) -> Callable:
         b, f, h, w, c = video.shape
         clip_emb = clip.apply({"params": clip_params}, input_ids, attention_mask)
         flat = video.reshape(b * f, h, w, c)
-        z = vae.apply({"params": vae_params}, flat, rng, method=vae.encode) * VAE_SCALE
+        z = vae.apply({"params": vae_params}, flat, rng, sample_posterior,
+                      method=vae.encode) * VAE_SCALE
         z = z.reshape(b, f, *z.shape[1:])
         return {
             "latents_x0": z[:, :cond_frames],

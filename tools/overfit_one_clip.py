@@ -94,14 +94,17 @@ def run_train(cfg_path: str) -> None:
 
 
 def sample_mse(cfg, ckpt_dir):
-    """Sample with the TRAINING conditioning; return MSE vs the VAE
-    roundtrip of the training clip, over the generated (non-cond) frames."""
+    """Sample with the TRAINING conditioning (posterior-MEAN cond latents,
+    matching ``vae_sample_posterior: false`` training); return latent MSE
+    of the DDIM sample vs the clip's mean latents, plus decoded-pixel MSE
+    vs decode(mean latents).  Deterministic everywhere except x_T."""
     import jax
     import jax.numpy as jnp
 
-    from seervideoldm_tpu.config import (sampler_schedule_from,
-                                         sampling_kwargs_from)
+    from seervideoldm_tpu.config import sampler_schedule_from
     from seervideoldm_tpu.data import build_dataset
+    from seervideoldm_tpu.diffusion.ddim import ddim_sample_loop
+    from seervideoldm_tpu.models.vae import VAE_SCALE
     from seervideoldm_tpu.pipelines.loading import load_finetuned, load_models
     from seervideoldm_tpu.pipelines.text_video import SeerPipeline
 
@@ -119,16 +122,64 @@ def sample_mse(cfg, ckpt_dir):
     cond = video[:, : cfg.cond_frames]
     gt = video[:, cfg.cond_frames:]
     tok = tokenizer([prompt])
-    tok_uc = tokenizer([""])
-    k_enc, k_gen = jax.random.split(k_sample)
-    target = np.asarray(
-        pipe.vae_decode_video(pipe.vae_encode_video(gt, k_enc)))
-    sample = np.asarray(pipe.generate(
-        cond, tok["input_ids"], tok["attention_mask"],
-        tok_uc["input_ids"], tok_uc["attention_mask"],
-        num_frames=cfg.num_frames, rng=k_gen, ddim_steps=cfg.ddim_steps,
-        guidance_scale=cfg.scale, **sampling_kwargs_from(cfg)))
-    return float(np.mean((sample - target) ** 2))
+
+    def mean_latents(frames):
+        b, f_, h, w, c = frames.shape
+        z = models.vae.apply(
+            {"params": models.vae_params}, frames.reshape(b * f_, h, w, c),
+            None, False, method=models.vae.encode) * jnp.asarray(
+                VAE_SCALE, frames.dtype)
+        return z.reshape(b, f_, *z.shape[1:])
+
+    x0_emb = mean_latents(cond)
+    target_z = mean_latents(gt)
+    clip_emb = models.clip.apply({"params": models.clip_params},
+                                 jnp.asarray(tok["input_ids"]),
+                                 jnp.asarray(tok["attention_mask"]))
+    context = models.fstext.apply({"params": models.fstext_params}, clip_emb)
+    schedule = sampler_schedule_from(cfg)
+    tables = schedule.ddim_tables(cfg.ddim_steps, eta=0.0)
+
+    def unet_apply(x, t, ctx, cf):
+        return models.unet.apply({"params": models.unet_params}, x, t,
+                                 ctx, cf)
+
+    x_T = jax.random.normal(k_sample, target_z.shape, target_z.dtype)
+    latents = ddim_sample_loop(unet_apply, x_T, tables, context,
+                               x0_emb=x0_emb, uncond_context=None,
+                               guidance_scale=1.0)
+    z_mse = float(jnp.mean((latents.astype(jnp.float32)
+                            - target_z.astype(jnp.float32)) ** 2))
+    z_var = float(jnp.var(target_z.astype(jnp.float32)))
+    sample_px = np.asarray(pipe.vae_decode_video(latents))
+    target_px = np.asarray(pipe.vae_decode_video(target_z))
+    px_mse = float(np.mean((sample_px - target_px) ** 2))
+
+    # One-step x0 recovery: noise the TRAINING clip latents to t, predict
+    # eps, invert to x0-hat, compare to the clip latents.  This probes the
+    # conditioning + trainable partition DIRECTLY, without the multi-step
+    # trajectory compounding the residual eps error (a toy-scale ceiling,
+    # not a wiring property).
+    from seervideoldm_tpu.diffusion.ddpm import add_noise
+    from seervideoldm_tpu.diffusion.schedules import DiffusionSchedule
+
+    acp = jnp.asarray(DiffusionSchedule.sd15_train_schedule().alphas_cumprod)
+    x0_err = {}
+    for t in (300, 600, 900):
+        eps = jax.random.normal(jax.random.fold_in(k_sample, t),
+                                target_z.shape, target_z.dtype)
+        ts = jnp.full((target_z.shape[0],), t, jnp.int32)
+        noisy = add_noise(acp, target_z, eps, ts)
+        x_in = jnp.concatenate([x0_emb, noisy], axis=1)
+        pred_eps = unet_apply(x_in, ts, context,
+                              0)[:, x0_emb.shape[1]:]
+        a = acp[t]
+        x0_hat = (noisy - jnp.sqrt(1.0 - a) * pred_eps) / jnp.sqrt(a)
+        x0_err[f"x0_rel_err_t{t}"] = float(
+            jnp.sqrt(jnp.mean((x0_hat - target_z) ** 2)
+                     / jnp.mean(target_z ** 2)))
+    return {"latent_mse": z_mse, "latent_var": z_var, "pixel_mse": px_mse,
+            **x0_err}
 
 
 def main() -> None:
@@ -166,6 +217,11 @@ def main() -> None:
         "lr_warmup_steps": 1, "max_train_steps": steps, "save_steps": steps,
         "num_workers": 2, "mixed_precision": "no", "seed": 0,
         "ddim_steps": ddim_steps, "scale": 1.0,
+        # deterministic latent targets: at random VAE init the posterior
+        # noise EXCEEDS the signal (draw-to-draw std 1.57 vs signal 1.17
+        # measured at this config), putting an irreducible floor on the
+        # eps loss — single-clip overfit can only converge on the mean
+        "vae_sample_posterior": False,
         "model_overrides": TINY_OVERRIDES,
     }
     cfg_path = os.path.join(tmp, "train.yaml")
@@ -173,10 +229,9 @@ def main() -> None:
         yaml.dump(cfg_dict, f)
 
     cfg = load_config(cfg_path)
-    print(f"[overfit] sampling with UNTRAINED weights ...", flush=True)
-    mse_untrained = sample_mse(cfg, None)
-    print(f"[overfit] untrained sample MSE vs clip roundtrip: "
-          f"{mse_untrained:.5f}", flush=True)
+    print("[overfit] sampling with UNTRAINED weights ...", flush=True)
+    before = sample_mse(cfg, None)
+    print(f"[overfit] untrained: {json.dumps(before)}", flush=True)
 
     print(f"[overfit] training {steps} steps on the one clip ...", flush=True)
     run_train(cfg_path)
@@ -187,11 +242,14 @@ def main() -> None:
     print(f"[overfit] loss curve: first {losses[0]:.4f} last {losses[-1]:.4f}",
           flush=True)
 
-    mse_trained = sample_mse(cfg, ckpt)
-    improvement = mse_untrained / max(mse_trained, 1e-12)
-    psnr = 10 * np.log10(4.0 / max(mse_trained, 1e-12))
-    report = {"untrained_mse": mse_untrained, "trained_mse": mse_trained,
-              "improvement_x": improvement, "trained_psnr_db": psnr,
+    after = sample_mse(cfg, ckpt)
+    improvement = before["latent_mse"] / max(after["latent_mse"], 1e-12)
+    # PSNR in latent space relative to the target's own variance (SNR-like)
+    snr_db = 10 * np.log10(after["latent_var"]
+                           / max(after["latent_mse"], 1e-12))
+    report = {"untrained": before, "trained": after,
+              "latent_improvement_x": improvement,
+              "trained_latent_snr_db": snr_db,
               "loss_first": losses[0], "loss_last": losses[-1],
               "steps": steps}
     print(json.dumps(report))

@@ -246,7 +246,8 @@ def main() -> None:
         snr_gamma=float(cfg.snr_gamma),
         lora_scale=lscale,
     )
-    prepare = prepare_batch_fn(models)
+    prepare = prepare_batch_fn(
+        models, sample_posterior=bool(cfg.vae_sample_posterior))
 
     dataset = build_dataset(
         cfg.dataset, cfg.dataset_path or cfg.get("data_dir"),
