@@ -100,7 +100,8 @@ def main() -> None:
         models = load_finetuned(models, ckpt_dir)
     pipe = SeerPipeline(models, mesh=mesh,
                         schedule=sampler_schedule_from(cfg),
-                        donate_latents=bool(cfg.donate_latents))
+                        donate_latents=bool(cfg.donate_latents),
+                        vae_scale=float(cfg.vae_scale))
 
     video = load_video_frames(cfg.video_path, cfg.resolution, cfg.num_frames)
     video = jnp.asarray(video)[None]  # (1, f, h, w, 3) in [-1, 1]

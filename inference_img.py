@@ -54,7 +54,8 @@ def main() -> None:
         models = load_finetuned(models, ckpt_dir)
     pipe = SeerPipeline(models, mesh=mesh,
                         schedule=sampler_schedule_from(cfg),
-                        donate_latents=bool(cfg.donate_latents))
+                        donate_latents=bool(cfg.donate_latents),
+                        vae_scale=float(cfg.vae_scale))
 
     with Image.open(cfg.image_path) as img:
         frame = image_to_model_input(img, cfg.resolution)

@@ -67,6 +67,12 @@ class Config:
     # the same name) — deterministic targets, required for single-clip
     # overfit proofs (tools/overfit_one_clip.py).
     vae_sample_posterior: bool = True
+    # latent scale factor — the reference hardcodes SD-1.5's 0.18215 at
+    # every encode/decode site (/root/reference/train.py:351-352,
+    # utils/ddim_sampling_utils.py:38,49); a knob because other VAEs use
+    # other constants (SDXL 0.13025) and toy-scale proofs need unit-scale
+    # latents (tools/overfit_one_clip.py)
+    vae_scale: float = 0.18215
     use_8bit_adam: bool = False
     gradient_checkpointing: bool = False
     # EMA of trainable weights (0 disables). Beyond reference: the reference
@@ -319,6 +325,8 @@ def validate(cfg: Config) -> Config:
             )
     if float(cfg.snr_gamma) < 0.0:
         raise ValueError(f"snr_gamma must be >= 0, got {cfg.snr_gamma!r}")
+    if not float(cfg.vae_scale) > 0.0:
+        raise ValueError(f"vae_scale must be > 0, got {cfg.vae_scale!r}")
     if not 0.0 <= float(cfg.tome_ratio) < 1.0:
         raise ValueError(
             f"tome_ratio must be in [0, 1), got {cfg.tome_ratio!r}"

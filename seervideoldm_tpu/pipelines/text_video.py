@@ -102,9 +102,11 @@ class SeerPipeline:
     """
 
     def __init__(self, models: SeerModels, schedule: Optional[DiffusionSchedule] = None,
-                 mesh=None, donate_latents: bool = True):
+                 mesh=None, donate_latents: bool = True,
+                 vae_scale: float = VAE_SCALE):
         self.m = models
         self.mesh = mesh
+        self.vae_scale = float(vae_scale)
         # donate x_T into the DDIM scan (halves transient latent HBM);
         # config knob `donate_latents: false` keeps the caller's buffer alive
         self.donate_latents = donate_latents
@@ -120,11 +122,11 @@ class SeerPipeline:
         self._vae_encode = jax.jit(
             lambda p, x, rng: self.m.vae.apply(
                 {"params": p}, x, rng, method=self.m.vae.encode
-            ) * VAE_SCALE
+            ) * self.vae_scale
         )
         self._vae_decode = jax.jit(
             lambda p, z: self.m.vae.apply(
-                {"params": p}, z / VAE_SCALE, method=self.m.vae.decode
+                {"params": p}, z / self.vae_scale, method=self.m.vae.decode
             )
         )
 

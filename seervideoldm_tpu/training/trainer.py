@@ -81,7 +81,8 @@ def combine_params(trainable: dict, frozen: dict) -> dict:
     return tu.unflatten_dict(flat)
 
 
-def prepare_batch_fn(models, sample_posterior: bool = True) -> Callable:
+def prepare_batch_fn(models, sample_posterior: bool = True,
+                     vae_scale: float = VAE_SCALE) -> Callable:
     """Jitted frozen-encoder pass: (video, ids, mask, rng) -> latent batch.
 
     video: (b, f, h, w, 3) in [-1, 1]; returns dict with ``latents_x0``
@@ -110,7 +111,7 @@ def prepare_batch_fn(models, sample_posterior: bool = True) -> Callable:
         clip_emb = clip.apply({"params": clip_params}, input_ids, attention_mask)
         flat = video.reshape(b * f, h, w, c)
         z = vae.apply({"params": vae_params}, flat, rng, sample_posterior,
-                      method=vae.encode) * VAE_SCALE
+                      method=vae.encode) * vae_scale
         z = z.reshape(b, f, *z.shape[1:])
         return {
             "latents_x0": z[:, :cond_frames],

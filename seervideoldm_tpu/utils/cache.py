@@ -13,8 +13,36 @@ import jax
 DEFAULT_CACHE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", ".jax_cache")
 
 
+def host_cpu_fingerprint() -> str:
+    """Short hash of the host's CPU feature flags.
+
+    XLA:CPU cache entries are AOT machine code compiled for the build
+    host's exact CPU features; JAX's cache key does NOT include them, so an
+    entry written on one machine can SIGILL on another (observed: a
+    train.py subprocess completing all steps then dying without a
+    traceback while loading a cached executable — the cpu_aot_loader
+    logs 'Machine type used for XLA:CPU compilation doesn't match').
+    Keying the CPU cache directory by this fingerprint confines entries to
+    identical hosts; TPU executables are device code and stay unkeyed.
+    """
+    import hashlib
+    import platform
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    return hashlib.sha1(flags.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    return platform.machine() or "unknown"
+
+
 def enable_compilation_cache(cache_dir: str | None = None) -> None:
     path = os.path.abspath(cache_dir or os.environ.get("JAX_CACHE_DIR", DEFAULT_CACHE_DIR))
+    if jax.default_backend() == "cpu":
+        path = f"{path}-cpu-{host_cpu_fingerprint()}"
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

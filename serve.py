@@ -50,7 +50,8 @@ def main() -> None:
         models = load_finetuned(models, ckpt_dir)
     pipe = SeerPipeline(models, mesh=mesh,
                         schedule=sampler_schedule_from(cfg),
-                        donate_latents=bool(cfg.donate_latents))
+                        donate_latents=bool(cfg.donate_latents),
+                        vae_scale=float(cfg.vae_scale))
 
     service = GenerationService(
         pipe, tokenizer, resolution=cfg.resolution,

@@ -30,6 +30,12 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # tests-dedicated dir (the 8-virtual-device/highest-precision configs would
 # pollute the entry-point cache keys anyway).
 _cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache_tests")
+# XLA:CPU cache entries are host-specific AOT code; key the dir by the CPU
+# feature fingerprint so a box swap can't SIGILL the suite (utils/cache.py
+# has the full story).
+from seervideoldm_tpu.utils.cache import host_cpu_fingerprint  # noqa: E402
+
+_cache_dir = f"{_cache_dir}-{host_cpu_fingerprint()}"
 os.makedirs(_cache_dir, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

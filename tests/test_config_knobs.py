@@ -212,3 +212,27 @@ def test_donate_latents_knob_wired():
     pipe.sample_latents(x_T, x0, ctx, ddim_steps=2, guidance_scale=1.0)
     # not donated: the input buffer must still be readable
     assert float(x_T.sum()) == 0.0
+
+
+def test_cpu_cache_dir_keyed_by_host_fingerprint(tmp_path, monkeypatch):
+    """XLA:CPU persistent-cache entries are host-specific AOT machine code;
+    a box swap mid-project turned stale entries into silent SIGILLs (a
+    train.py subprocess died after its last step with no traceback).  The
+    cache dir must be keyed by the host CPU fingerprint on the cpu backend
+    so entries can never cross hosts."""
+    import jax
+
+    from seervideoldm_tpu.utils.cache import (enable_compilation_cache,
+                                              host_cpu_fingerprint)
+
+    fp = host_cpu_fingerprint()
+    assert fp and "/" not in fp
+    monkeypatch.delenv("JAX_CACHE_DIR", raising=False)
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        enable_compilation_cache(str(tmp_path / "cache"))
+        got = jax.config.jax_compilation_cache_dir
+        # conftest forces the cpu backend for the whole suite
+        assert got == str(tmp_path / f"cache-cpu-{fp}")
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)

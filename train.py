@@ -247,7 +247,8 @@ def main() -> None:
         lora_scale=lscale,
     )
     prepare = prepare_batch_fn(
-        models, sample_posterior=bool(cfg.vae_sample_posterior))
+        models, sample_posterior=bool(cfg.vae_sample_posterior),
+        vae_scale=float(cfg.vae_scale))
 
     dataset = build_dataset(
         cfg.dataset, cfg.dataset_path or cfg.get("data_dir"),
