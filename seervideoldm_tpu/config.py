@@ -142,6 +142,13 @@ class Config:
     timestep_spacing: str = "uniform"
     # CFG std-rescale blend in [0,1]; 0 = plain CFG (parity), typical 0.7
     guidance_rescale: float = 0.0
+    # --- trainable scope (beyond reference) ---
+    # "reference" = the reference's partial freeze (UNet temporal_attentions
+    # + FSText train, everything else frozen — /root/reference/train.py:
+    # 123-125,188-192); "all" trains every UNet+FSText weight (from-scratch
+    # training, and the single-clip overfit proof where a random-init frozen
+    # spatial half caps convergence). VAE/CLIP never train (both recipes).
+    trainable_scope: str = "reference"
     # --- LoRA adaptation (beyond reference; arXiv 2106.09685) ---
     # rank of the low-rank attention-projection adapters. 0 = off (reference
     # parity: full temporal-attention fine-tune). With rank > 0 the UNet is
@@ -310,8 +317,18 @@ def validate(cfg: Config) -> Config:
         # silently would not engage
         print("warning: rescale_zero_snr without timestep_spacing: trailing "
               "— sampling will never reach the terminal SNR-0 step")
+    if cfg.trainable_scope not in ("reference", "all"):
+        raise ValueError(
+            f"trainable_scope must be 'reference' or 'all', got "
+            f"{cfg.trainable_scope!r}"
+        )
     if int(cfg.lora_rank) < 0:
         raise ValueError(f"lora_rank must be >= 0, got {cfg.lora_rank!r}")
+    if int(cfg.lora_rank) > 0 and cfg.trainable_scope != "reference":
+        raise ValueError(
+            "lora_rank > 0 freezes the full UNet (adapters train instead); "
+            "combine it with trainable_scope: reference only"
+        )
     if int(cfg.lora_rank) > 0:
         from .training.lora import SCOPES
 

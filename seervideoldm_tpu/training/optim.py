@@ -16,9 +16,21 @@ import jax
 import optax
 
 
-def trainable_mask(params: dict) -> Any:
-    """True where trainable: params['unet'] paths containing
-    'temporal_attentions'; everything under params['fstext']."""
+def trainable_mask(params: dict, scope: str = "reference") -> Any:
+    """True where trainable.
+
+    scope 'reference' (the reference recipe, ``train.py:123-125,188-192``):
+    params['unet'] paths containing 'temporal_attentions' plus everything
+    under params['fstext'].  scope 'all' (beyond reference): every leaf —
+    the reference can ONLY fine-tune a pretrained SD backbone; full-scope
+    training is what from-scratch runs and single-clip overfit proofs need
+    (``tools/overfit_one_clip.py`` — a random-init frozen spatial half
+    caps how far the sample can converge).
+    """
+    if scope == "all":
+        return jax.tree_util.tree_map(lambda _: True, params)
+    if scope != "reference":
+        raise ValueError(f"unknown trainable scope {scope!r}")
 
     def mask_leaf(path, leaf) -> bool:
         keys = [p.key if hasattr(p, "key") else str(p) for p in path]

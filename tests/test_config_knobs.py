@@ -236,3 +236,33 @@ def test_cpu_cache_dir_keyed_by_host_fingerprint(tmp_path, monkeypatch):
         assert got == str(tmp_path / f"cache-cpu-{fp}")
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)
+
+
+def test_trainable_scope_knob(tmp_path):
+    """trainable_scope widens the trainable partition to every UNet+FSText
+    leaf ('all': from-scratch training / the overfit-one-clip proof) or
+    keeps the reference's partial freeze ('reference',
+    /root/reference/train.py:123-125,188-192); anything else — and the
+    lora_rank>0 combination, whose adapters require the frozen-UNet
+    layout — is rejected loudly."""
+    import jax
+
+    from seervideoldm_tpu.training.optim import trainable_mask
+
+    params = {"unet": {"temporal_attentions_0": {"w": 1.0}, "conv": {"w": 2.0}},
+              "fstext": {"w": 3.0}}
+    ref = trainable_mask(params, "reference")
+    assert ref["unet"]["conv"]["w"] is False
+    assert ref["unet"]["temporal_attentions_0"]["w"] is True
+    assert ref["fstext"]["w"] is True
+    alln = trainable_mask(params, "all")
+    assert all(jax.tree_util.tree_leaves(alln))
+    with pytest.raises(ValueError):
+        trainable_mask(params, "spatial")
+
+    cfg = load_config(_write_cfg(tmp_path, trainable_scope="all"))
+    assert cfg.trainable_scope == "all"
+    with pytest.raises(ValueError, match="trainable_scope"):
+        load_config(_write_cfg(tmp_path, trainable_scope="nope"))
+    with pytest.raises(ValueError, match="lora_rank"):
+        load_config(_write_cfg(tmp_path, trainable_scope="all", lora_rank=4))

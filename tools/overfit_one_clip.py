@@ -104,7 +104,6 @@ def sample_mse(cfg, ckpt_dir):
     from seervideoldm_tpu.config import sampler_schedule_from
     from seervideoldm_tpu.data import build_dataset
     from seervideoldm_tpu.diffusion.ddim import ddim_sample_loop
-    from seervideoldm_tpu.models.vae import VAE_SCALE
     from seervideoldm_tpu.pipelines.loading import load_finetuned, load_models
     from seervideoldm_tpu.pipelines.text_video import SeerPipeline
 
@@ -113,7 +112,8 @@ def sample_mse(cfg, ckpt_dir):
     models, tokenizer = load_models(cfg, k_model)
     if ckpt_dir is not None:
         models = load_finetuned(models, ckpt_dir)
-    pipe = SeerPipeline(models, schedule=sampler_schedule_from(cfg))
+    pipe = SeerPipeline(models, schedule=sampler_schedule_from(cfg),
+                        vae_scale=float(cfg.vae_scale))
 
     dataset = build_dataset("sthv2", cfg.data_dir, cfg.resolution,
                             cfg.num_frames, split="val")
@@ -128,7 +128,7 @@ def sample_mse(cfg, ckpt_dir):
         z = models.vae.apply(
             {"params": models.vae_params}, frames.reshape(b * f_, h, w, c),
             None, False, method=models.vae.encode) * jnp.asarray(
-                VAE_SCALE, frames.dtype)
+                cfg.vae_scale, frames.dtype)
         return z.reshape(b, f_, *z.shape[1:])
 
     x0_emb = mean_latents(cond)
@@ -222,6 +222,17 @@ def main() -> None:
         # measured at this config), putting an irreducible floor on the
         # eps loss — single-clip overfit can only converge on the mean
         "vae_sample_posterior": False,
+        # unit latent scale: the SD constant 0.18215 is calibrated for the
+        # TRAINED SD VAE; the random-init toy VAE's latents land at
+        # var≈0.0125 after scaling, so x_t is noise-dominated at every t
+        # and the trajectory can't pull toward the clip.  vae_scale 1.0
+        # keeps the toy latents at O(1) signal (cfg knob, see config.py)
+        "vae_scale": 1.0,
+        # train EVERY UNet+FSText weight: the reference recipe freezes the
+        # spatial half because it starts from a TRAINED SD backbone; here
+        # the spatial half is random-init, and a frozen random encoder caps
+        # how far the sample can converge toward the clip
+        "trainable_scope": "all",
         "model_overrides": TINY_OVERRIDES,
     }
     cfg_path = os.path.join(tmp, "train.yaml")

@@ -25,9 +25,14 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
 
 
 def main() -> None:
@@ -42,10 +47,17 @@ def main() -> None:
                         help="comma list of: pab tome freeu dpm++ gi")
     parser.add_argument("--tiny", action="store_true",
                         help="toy-scale model on CPU (CI drive)")
+    parser.add_argument("--out", default=None,
+                        help="write the full probe report (rows + summary) "
+                             "to this JSON file (the committed artifact)")
     args = parser.parse_args()
 
     import jax
     import jax.numpy as jnp
+
+    from seervideoldm_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     from seervideoldm_tpu.diffusion.ddim import ddim_sample_loop
     from seervideoldm_tpu.diffusion.dpm_solver import dpm_solver_sample_loop
@@ -196,7 +208,7 @@ def main() -> None:
         print(json.dumps(row))
 
     rows.sort(key=lambda r: r["rel_rmse"])
-    print(json.dumps({
+    summary = {
         "parity_latency_s": round(t_parity, 4),
         "parity_std": parity_std,
         "protocol": {"resolution": args.resolution, "frames": f,
@@ -205,7 +217,11 @@ def main() -> None:
         "ranking_by_deviation": [r["mode"] for r in rows],
         "ranking_by_speedup": [r["mode"] for r in
                                sorted(rows, key=lambda r: -r["speedup"])],
-    }))
+    }
+    print(json.dumps(summary))
+    if args.out:
+        with open(args.out, "w") as fp:
+            json.dump({"modes": rows, **summary}, fp, indent=1)
 
 
 if __name__ == "__main__":

@@ -157,8 +157,11 @@ def main() -> None:
         print(f"lora: rank {lora_rank} scope {cfg.lora_targets} — "
               f"{param_count(adapters) / 1e6:.2f}M adapter params")
     else:
-        # gradients + Adam state only for temporal attentions + FSText
-        trainable, frozen = partition_params(params, trainable_mask(params))
+        # gradients + Adam state only for the trainable scope: 'reference' =
+        # temporal attentions + FSText (the reference's partial freeze),
+        # 'all' = every UNet+FSText weight (from-scratch training)
+        trainable, frozen = partition_params(
+            params, trainable_mask(params, cfg.trainable_scope))
         lscale = 0.0
     # drop the original full fp32 trees: the partition shares the trainable
     # buffers, but once frozen is cast to bf16 below the fp32 frozen halves
