@@ -209,6 +209,48 @@ def _ln_ff_residual(dim: int, kw: dict, x: jnp.ndarray) -> jnp.ndarray:
         LayerNorm(param_dtype=param_dtype, name="norm3")(x)) + x
 
 
+def _ln_ff_proj_residual(dim: int, kw: dict, x: jnp.ndarray,
+                         w3: jnp.ndarray, b3: jnp.ndarray,
+                         res: jnp.ndarray) -> jnp.ndarray:
+    """``res + proj_out(x + FeedForward(LayerNorm(x)))`` — the whole
+    transformer-site tail in ONE fused kernel where supported
+    (ops/pallas/geglu_ff.py::ln_geglu_ff_proj): vs chaining
+    ``_ln_ff_residual`` + the XLA 1x1 proj_out + the outer residual add,
+    the (tokens, c) intermediate, the proj read/write, and the residual
+    re-read never round-trip HBM — three passes saved per site on top of
+    the LN fusion (FLOORBUDGET.json 'glue' headroom).
+
+    ``w3``: the site's proj_out 1x1 kernel reshaped (c, c); ``b3``: its
+    bias; ``res``: the SpatialTransformer3D input, token-flattened.  Param
+    tree created here is IDENTICAL to ``_ln_ff_residual`` (norm3/ff);
+    proj_out params are owned by the caller.  Reference semantics:
+    ``seer/models/attention.py:126-151`` (proj_out + residual) after
+    ``:241-246`` (ff + residual)."""
+    from ..ops.pallas import get_activation_mesh, pallas_enabled
+    from ..ops.pallas.geglu_ff import (ln_geglu_ff_proj,
+                                       ln_geglu_ff_proj_preferred)
+
+    dtype, param_dtype = kw["dtype"], kw["param_dtype"]
+    inner = dim * 4
+    lead, c = x.shape[:-1], x.shape[-1]
+    n = 1
+    for s in lead:
+        n *= int(s)
+    if (c == dim and pallas_enabled() and get_activation_mesh() is None
+            and ln_geglu_ff_proj_preferred(n, c, inner, x.dtype)):
+        scale, bias = _LNParams(c, param_dtype, name="norm3")()
+        w1, b1, w2, b2 = _FFParams(dim, param_dtype=param_dtype, name="ff")()
+        w1, b1, w2, b2 = nn.dtypes.promote_dtype(
+            w1, b1, w2, b2, dtype=dtype)
+        out = ln_geglu_ff_proj(x.reshape(n, c), scale, bias, w1, b1, w2, b2,
+                               w3, b3, res.reshape(n, c))
+        return checkpoint_name(out.reshape(*lead, c), "ff_out")
+    y = FeedForward(dim, name="ff", **kw)(
+        LayerNorm(param_dtype=param_dtype, name="norm3")(x)) + x
+    z = jnp.dot(y, w3.astype(y.dtype), preferred_element_type=jnp.float32)
+    return (z.astype(y.dtype) + b3.astype(y.dtype)) + res
+
+
 class FeedForward(nn.Module):
     """GEGLU(dim -> 4*dim) -> Dense(4*dim -> dim). Names mirror torch ff.net.{0,2}.
 
@@ -365,6 +407,7 @@ class BasicTransformerBlock3D(nn.Module):
         x: jnp.ndarray,
         context: Optional[jnp.ndarray] = None,
         pab: Optional[dict] = None,
+        fuse_out: Optional[tuple] = None,
     ) -> jnp.ndarray:
         b, f, h, w, c = x.shape
         cond_frame = self.cond_frame
@@ -397,6 +440,14 @@ class BasicTransformerBlock3D(nn.Module):
                 x0, rest = x[:, : cond_frame * h * w], x[:, cond_frame * h * w :]
                 rest = _ln_ff_residual(self.dim, kw, rest)
                 x = jnp.concatenate([x0, rest], axis=1)
+            elif fuse_out is not None:
+                # site-tail fusion: the caller's proj_out + outer residual
+                # ride the FF kernel's epilogue; this return IS the final
+                # SpatialTransformer3D output (cond_frame == 0 only — the
+                # FF-skip split would leave cond tokens un-projected)
+                w3, b3, res = fuse_out
+                x = _ln_ff_proj_residual(self.dim, kw, x, w3, b3, res)
+                return x.reshape(b, f, h, w, c)
             else:
                 x = _ln_ff_residual(self.dim, kw, x)
             return x.reshape(b, f, h, w, c)
@@ -423,6 +474,41 @@ class BasicTransformerBlock3D(nn.Module):
             )(LayerNorm(param_dtype=self.param_dtype, name="norm2")(x), context=context) + x
         x = _ln_ff_residual(self.dim, kw, x)
         return x.reshape(b, f, h, w, c)
+
+
+class _Conv1x1Leaf(nn.Module):
+    """Leaf creating nn.Conv-shaped (1,1) kernel/bias params (zero-init,
+    the proj_out inflation trick)."""
+
+    in_features: int
+    features: int
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.zeros,
+            (1, 1, self.in_features, self.features), self.param_dtype,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), self.param_dtype)
+        return kernel, bias
+
+
+class _InflatedConv1x1Params(nn.Module):
+    """Parameter shell matching InflatedConv(features, (1,1))'s tree
+    (conv/{kernel (1,1,cin,cout), bias}) with the zero initializers of the
+    proj_out site — same path -> identical checkpoint tree whether the
+    site runs the conv or the fused kernel tail."""
+
+    in_features: int
+    features: int
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        return _Conv1x1Leaf(self.in_features, self.features,
+                            self.param_dtype, name="conv")()
 
 
 class SpatialTransformer3D(nn.Module):
@@ -456,10 +542,39 @@ class SpatialTransformer3D(nn.Module):
         inner_dim = self.n_heads * self.d_head
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         x_in = x
+        b, f, h, w, _ = x.shape
+
+        # Site-tail fusion gate (static): the final temporal block's FF
+        # kernel absorbs proj_out + the outer residual
+        # (ops/pallas/geglu_ff.py::ln_geglu_ff_proj) when the FF fusion
+        # itself is the measured winner at this width.  cond_frame > 0
+        # (training) keeps the unfused tail — the FF-skip split leaves the
+        # cond tokens un-projected inside the kernel.
+        fuse_tail = False
+        if (self.temporal and not self.text_frame_condition
+                and self.depth >= 1 and self.cond_frame == 0
+                and self.in_channels == inner_dim):
+            from ..ops.pallas import get_activation_mesh, pallas_enabled
+            from ..ops.pallas.geglu_ff import ln_geglu_ff_proj_preferred
+
+            fuse_tail = (
+                pallas_enabled() and get_activation_mesh() is None
+                and ln_geglu_ff_proj_preferred(
+                    b * f * h * w, inner_dim, inner_dim * 4, x.dtype)
+            )
+
         x = GroupNorm(
             self.norm_num_groups, eps=1e-6, param_dtype=self.param_dtype, name="norm"
         )(x)
         x = InflatedConv(inner_dim, (1, 1), padding=0, name="proj_in", **kw)(x)
+        fuse_out = None
+        if fuse_tail:
+            k3, b3 = _InflatedConv1x1Params(
+                inner_dim, self.in_channels, self.param_dtype,
+                name="proj_out")()
+            k3, b3 = nn.dtypes.promote_dtype(k3, b3, dtype=self.dtype)
+            fuse_out = (k3.reshape(inner_dim, self.in_channels), b3,
+                        x_in.reshape(b, f * h * w, self.in_channels))
         for d in range(self.depth):
             if self.text_frame_condition:
                 x = BasicTextTransformerBlock3D(
@@ -476,7 +591,10 @@ class SpatialTransformer3D(nn.Module):
                     context_dim=self.context_dim, temporal=self.temporal, causal=self.causal,
                     cond_frame=self.cond_frame,
                     name=f"transformer_blocks_{d}", **kw,
-                )(x, context=context, pab=pab)
+                )(x, context=context, pab=pab,
+                  fuse_out=fuse_out if d == self.depth - 1 else None)
+        if fuse_out is not None:
+            return x  # proj_out + residual already applied in-kernel
         # zero-initialized output projection: fresh temporal layers start as identity
         x = InflatedConv(
             self.in_channels, (1, 1), padding=0,

@@ -135,6 +135,33 @@ def _kernel_ln(x_ref, g_ref, bt_ref, w1h_ref, b1h_ref, w1g_ref, b1g_ref,
     o_ref[...] = (acc.astype(o_ref.dtype) + b2_ref[0][None, :]) + xb
 
 
+def _kernel_ln_proj(x_ref, g_ref, bt_ref, w1h_ref, b1h_ref, w1g_ref,
+                    b1g_ref, w2_ref, b2_ref, w3_ref, b3_ref, res_ref,
+                    o_ref, *, inner: int, ic: int, eps: float):
+    """_kernel_ln extended with the transformer tail: the site's
+    zero-initialized 1x1 ``proj_out`` matmul and the OUTER residual add
+    (transformer3d.py::SpatialTransformer3D).  The temporal sites read
+    ``x_in + proj_out(x + FF(LN(x)))`` after the attention residual; fusing
+    the tail removes the intermediate's HBM round trip plus the separate
+    proj_out read/write and residual re-read — three full passes over the
+    (tokens, c) activations per site (floor-budget 'glue' rows,
+    FLOORBUDGET.json).  W3 adds only c*c*2 bytes of resident VMEM (200 KB
+    at c=320, the only gated-in width)."""
+    xb = x_ref[...]  # (bt, c) bf16
+    x32 = xb.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    cen = x32 - mean
+    var = jnp.mean(cen * cen, axis=-1, keepdims=True)
+    ln = cen * jax.lax.rsqrt(var + eps)
+    ln = ln * g_ref[0][None, :] + bt_ref[0][None, :]
+    x = ln.astype(xb.dtype)
+    acc = _ff_core(x, w1h_ref, b1h_ref, w1g_ref, b1g_ref, w2_ref,
+                   inner=inner, ic=ic, out_shape=o_ref.shape)
+    y = (acc.astype(xb.dtype) + b2_ref[0][None, :]) + xb
+    z = jax.lax.dot(y, w3_ref[...], preferred_element_type=jnp.float32)
+    o_ref[...] = (z.astype(o_ref.dtype) + b3_ref[0][None, :]) + res_ref[...]
+
+
 def _reference(x, w1, b1, w2, b2):
     """Exact-erf XLA path, numerics of GEGLU(nn.Dense) + nn.Dense."""
     inner = w2.shape[0]
@@ -144,7 +171,8 @@ def _reference(x, w1, b1, w2, b2):
     return (a @ w2).astype(x.dtype) + b2.astype(x.dtype)
 
 
-def _pick_blocks(n: int, c: int, inner: int, ln: bool = False):
+def _pick_blocks(n: int, c: int, inner: int, ln: bool = False,
+                 proj: bool = False):
     """Largest (token block, inner chunk) whose working set fits VMEM.
 
     Prefers the single-shot form (ic == inner: three fat matmuls, no chunk
@@ -152,6 +180,8 @@ def _pick_blocks(n: int, c: int, inner: int, ln: bool = False):
     L0 shape."""
     budget = _PLAN_BUDGET
     w_bytes = (c * 2 * inner + inner * c) * 2
+    if proj:
+        w_bytes += c * c * 2  # resident W3 (proj_out)
     for bt in (512, 256, 128):
         if n % bt != 0:
             continue
@@ -162,6 +192,9 @@ def _pick_blocks(n: int, c: int, inner: int, ln: bool = False):
             per_tok = 8 * c + 10 * ic + (4 * c if ic < inner else 0)
             if ln:
                 per_tok += 8 * c  # fp32 x32/centered LN temporaries
+            if proj:
+                # res block (bf16, double-buffered) + y bf16 + z f32
+                per_tok += 4 * c + 2 * c + 4 * c
             if w_bytes + bt * per_tok <= budget:
                 return bt, ic
     return None, None
@@ -338,3 +371,90 @@ def _ln_bwd(res, dy):
 
 
 ln_geglu_ff.defvjp(_ln_fwd, _ln_bwd)
+
+
+def _ln_proj_reference(x, gamma, beta, w1, b1, w2, b2, w3, b3, res):
+    """Exact-erf XLA path for res + proj(x + FF(LN(x))) — the numerics of
+    the unfused chain: LN/FF/residual (above), then the 1x1 proj_out
+    matmul (bf16 inputs, f32 accumulation, bf16 bias add — nn.Conv
+    epilogue) and the outer residual add in bf16."""
+    y = _ln_reference(x, gamma, beta, w1, b1, w2, b2)
+    z = jnp.dot(y, w3.astype(y.dtype),
+                preferred_element_type=jnp.float32)
+    return (z.astype(x.dtype) + b3.astype(x.dtype)) + res
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def ln_geglu_ff_proj(x, gamma, beta, w1, b1, w2, b2, w3, b3, res):
+    """res + proj(x + FF(LN(x))) fused — the whole transformer-site tail.
+
+    ``x``: (n, c) bf16 post-attention hidden states; ``w3``/``b3``: the
+    site's zero-initialized 1x1 proj_out (kernel reshaped (c, c)); ``res``:
+    (n, c) the site's outer residual (SpatialTransformer3D input).
+    Removes three HBM passes over the (n, c) activations vs chaining
+    ln_geglu_ff + XLA proj_out + add (reference semantics:
+    ``seer/models/attention.py:126-151`` proj_out + residual)."""
+    return _ln_proj_impl(x, gamma, beta, w1, b1, w2, b2, w3, b3, res)
+
+
+def ln_geglu_ff_proj_preferred(n: int, c: int, inner: int, dtype) -> bool:
+    """Same measured channel gate as the LN fusion (c <= 320: the L0
+    sites, where the whole-site tail fusion wins; c=640 keeps XLA)."""
+    return c <= _LN_FUSE_MAX_C and geglu_ff_supported(n, c, inner, dtype)
+
+
+def _ln_proj_impl(x, gamma, beta, w1, b1, w2, b2, w3, b3, res):
+    n, c = x.shape
+    inner = w2.shape[0]
+    if not geglu_ff_supported(n, c, inner, x.dtype):
+        return _ln_proj_reference(x, gamma, beta, w1, b1, w2, b2, w3, b3, res)
+    bt, ic = _pick_blocks(n, c, inner, ln=True, proj=True)
+    if bt is None:
+        return _ln_proj_reference(x, gamma, beta, w1, b1, w2, b2, w3, b3, res)
+    w1h, w1g = w1[:, :inner], w1[:, inner:]
+    b1h = b1[None, :inner].astype(x.dtype)
+    b1g = b1[None, inner:].astype(x.dtype)
+    b2r = b2[None, :].astype(x.dtype)
+    b3r = b3[None, :].astype(x.dtype)
+    g32 = gamma[None, :].astype(jnp.float32)
+    bt32 = beta[None, :].astype(jnp.float32)
+    grid = (n // bt,)
+    return pl.pallas_call(
+        functools.partial(_kernel_ln_proj, inner=inner, ic=ic, eps=_LN_EPS),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bt, c), lambda t: (t, 0)),
+            pl.BlockSpec((1, c), lambda t: (0, 0)),
+            pl.BlockSpec((1, c), lambda t: (0, 0)),
+            pl.BlockSpec((c, inner), lambda t: (0, 0)),
+            pl.BlockSpec((1, inner), lambda t: (0, 0)),
+            pl.BlockSpec((c, inner), lambda t: (0, 0)),
+            pl.BlockSpec((1, inner), lambda t: (0, 0)),
+            pl.BlockSpec((inner, c), lambda t: (0, 0)),
+            pl.BlockSpec((1, c), lambda t: (0, 0)),
+            pl.BlockSpec((c, c), lambda t: (0, 0)),
+            pl.BlockSpec((1, c), lambda t: (0, 0)),
+            pl.BlockSpec((bt, c), lambda t: (t, 0)),
+        ],
+        out_specs=pl.BlockSpec((bt, c), lambda t: (t, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, c), x.dtype),
+        compiler_params=None if pltpu is None else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+    )(x, g32, bt32, w1h, b1h, w1g, b1g, w2, b2r,
+      w3.astype(x.dtype), b3r, res)
+
+
+def _ln_proj_fwd(x, gamma, beta, w1, b1, w2, b2, w3, b3, res):
+    return (_ln_proj_impl(x, gamma, beta, w1, b1, w2, b2, w3, b3, res),
+            (x, gamma, beta, w1, b1, w2, b2, w3, b3, res))
+
+
+def _ln_proj_bwd(saved, dy):
+    """Exact-erf XLA backward through LN + FF + residual + proj + outer
+    residual, intermediates recomputed (flash-style)."""
+    _, vjp = jax.vjp(_ln_proj_reference, *saved)
+    return vjp(dy)
+
+
+ln_geglu_ff_proj.defvjp(_ln_proj_fwd, _ln_proj_bwd)

@@ -276,3 +276,154 @@ def test_ln_ff_residual_param_tree_identical_and_function_equal(monkeypatch):
         np.testing.assert_allclose(np.asarray(of, np.float32),
                                    np.asarray(op, np.float32),
                                    rtol=2e-2, atol=2e-2)
+
+
+# ---- site-tail fusion: ln_geglu_ff_proj (FF + proj_out + outer residual) ----
+
+from seervideoldm_tpu.ops.pallas.geglu_ff import (  # noqa: E402
+    _kernel_ln_proj, _ln_proj_reference, ln_geglu_ff_proj)
+
+
+def _ln_proj_args(n, c, dtype=jnp.bfloat16):
+    # LN args + w3 (c, c), b3 (c,), res (n, c); w3 non-zero so the proj
+    # matmul actually participates (production zero-init would be vacuous)
+    return _ln_args(n, c, dtype) + [
+        (0.2 * _rand((c, c), 17)).astype(dtype),
+        (0.1 * _rand((c,), 18)).astype(dtype),
+        _rand((n, c), 19).astype(dtype)]
+
+
+def _run_kernel_ln_proj_interpret(x, gamma, beta, w1, b1, w2, b2, w3, b3,
+                                  res, bt=128, ic=128):
+    n, c = x.shape
+    inner = w2.shape[0]
+    w1h, w1g = w1[:, :inner], w1[:, inner:]
+    b1h = b1[None, :inner].astype(x.dtype)
+    b1g = b1[None, inner:].astype(x.dtype)
+    b2r = b2[None, :].astype(x.dtype)
+    b3r = b3[None, :].astype(x.dtype)
+    g32 = gamma[None, :].astype(jnp.float32)
+    bt32 = beta[None, :].astype(jnp.float32)
+    rep = lambda shp: pl.BlockSpec(shp, lambda t: tuple(0 for _ in shp))  # noqa: E731
+    return pl.pallas_call(
+        functools.partial(_kernel_ln_proj, inner=inner, ic=ic, eps=_LN_EPS),
+        grid=(n // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, c), lambda t: (t, 0)),
+            rep((1, c)), rep((1, c)),
+            rep((c, inner)), rep((1, inner)),
+            rep((c, inner)), rep((1, inner)),
+            rep((inner, c)), rep((1, c)),
+            rep((c, c)), rep((1, c)),
+            pl.BlockSpec((bt, c), lambda t: (t, 0)),
+        ],
+        out_specs=pl.BlockSpec((bt, c), lambda t: (t, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, c), x.dtype),
+        interpret=True,
+    )(x, g32, bt32, w1h, b1h, w1g, b1g, w2, b2r, w3.astype(x.dtype), b3r, res)
+
+
+@pytest.mark.critical
+@pytest.mark.parametrize("dtype,tol", [(jnp.float32, 2e-5),
+                                       (jnp.bfloat16, 5e-2)])
+def test_ln_proj_kernel_matches_reference_interpret(dtype, tol):
+    args = _ln_proj_args(256, 32, dtype)
+    out = _run_kernel_ln_proj_interpret(*args)
+    ref = _ln_proj_reference(*args)
+    ref32 = ref.astype(jnp.float32)
+    diff = jnp.max(jnp.abs(out.astype(jnp.float32) - ref32))
+    rel = float(diff) / float(jnp.max(jnp.abs(ref32)))
+    assert rel < tol, (float(diff), rel)
+
+
+def test_ln_proj_reference_matches_unfused_tail():
+    """_ln_proj_reference == (x + FF(LN(x))) @ w3 + b3 + res, the exact
+    chain the unfused SpatialTransformer3D tail runs (proj_out 1x1 conv
+    == matmul over tokens)."""
+    args = _ln_proj_args(128, 16, jnp.bfloat16)
+    x, gamma, beta, w1, b1, w2, b2, w3, b3, res = args
+    y = _ln_reference(x, gamma, beta, w1, b1, w2, b2)
+    want = (jnp.dot(y, w3, preferred_element_type=jnp.float32)
+            .astype(x.dtype) + b3) + res
+    got = _ln_proj_reference(*args)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_ln_proj_custom_vjp_matches_autodiff_of_reference():
+    args = _ln_proj_args(64, 16, jnp.float32)
+
+    def loss_fused(*a):
+        return jnp.sum(jnp.sin(ln_geglu_ff_proj(*a)))
+
+    def loss_ref(*a):
+        return jnp.sum(jnp.sin(_ln_proj_reference(*a)))
+
+    g_fused = jax.grad(loss_fused, argnums=tuple(range(10)))(*args)
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(10)))(*args)
+    for gf, gr in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_site_tail_fusion_param_tree_identical_and_function_equal(monkeypatch):
+    """SpatialTransformer3D with the fused tail (forced on CPU via the XLA
+    reference) == the unfused module: same param tree (proj_out/conv/*
+    zero-init shell), same outputs.  Exercises the production wiring:
+    temporal + causal + cond_frame=0 + depth=1 + in_channels == inner."""
+    from seervideoldm_tpu.models import transformer3d as t3d
+    from seervideoldm_tpu.ops.pallas import geglu_ff as gmod
+
+    dim, heads, dh = 16, 2, 8
+    x5 = _rand((1, 4, 8, 8, dim), 40, jnp.bfloat16)
+
+    def build_and_run():
+        st = t3d.SpatialTransformer3D(
+            in_channels=dim, n_heads=heads, d_head=dh, depth=1,
+            temporal=True, causal=True, cond_frame=0,
+            norm_num_groups=4, dtype=jnp.bfloat16)
+        p = st.init(jax.random.PRNGKey(5), x5)
+        return st.apply(p, x5), p
+
+    out_plain, tree_plain = build_and_run()
+
+    monkeypatch.setattr(gmod, "geglu_ff_supported", lambda *a, **k: True)
+    monkeypatch.setattr(gmod, "ln_geglu_ff_proj_preferred",
+                        lambda *a, **k: True)
+    monkeypatch.setattr(gmod, "ln_geglu_ff_proj", gmod._ln_proj_reference)
+    monkeypatch.setattr(gmod, "geglu_ff", gmod._reference)
+    monkeypatch.setattr(gmod, "ln_geglu_ff", gmod._ln_reference)
+    out_fused, tree_fused = build_and_run()
+
+    fa = jax.tree_util.tree_flatten_with_path(tree_plain)[0]
+    fb = jax.tree_util.tree_flatten_with_path(tree_fused)[0]
+    assert [p for p, _ in fa] == [p for p, _ in fb]
+    for (_, a), (_, b) in zip(fa, fb):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # zero-init proj_out makes the site output == its input regardless of
+    # path; also check with a perturbed (non-zero) proj_out kernel so the
+    # fused tail's matmul genuinely participates
+    np.testing.assert_allclose(np.asarray(out_fused, np.float32),
+                               np.asarray(out_plain, np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+    import flax.traverse_util as tu
+    flat = tu.flatten_dict(tree_plain["params"])
+    key = ("proj_out", "conv", "kernel")
+    assert key in flat, sorted(flat)[:10]
+    bumped = dict(flat)
+    bumped[key] = 0.3 * np.asarray(
+        jax.random.normal(jax.random.PRNGKey(6), flat[key].shape),
+        np.float32)
+    ptree = {"params": tu.unflatten_dict(bumped)}
+    st = t3d.SpatialTransformer3D(
+        in_channels=dim, n_heads=heads, d_head=dh, depth=1,
+        temporal=True, causal=True, cond_frame=0,
+        norm_num_groups=4, dtype=jnp.bfloat16)
+    out_fused2 = st.apply(ptree, x5)
+    monkeypatch.undo()
+    out_plain2 = st.apply(ptree, x5)
+    np.testing.assert_allclose(np.asarray(out_fused2, np.float32),
+                               np.asarray(out_plain2, np.float32),
+                               rtol=2e-2, atol=2e-2)
