@@ -227,8 +227,11 @@ def main():
     acp = jnp.asarray(DiffusionSchedule.sd15_train_schedule().alphas_cumprod)
     unet, fstext = models.unet, models.fstext
 
-    def loss_inline(trainable_p, batch, noise, timesteps):
-        params = combine_params(trainable_p, frozen)
+    # frozen params are an ARGUMENT, not a closure capture: capturing the
+    # 860M-param frozen tree bakes ~3.4 GB of constants into the program —
+    # the relay tunnel rejects modules that large (HTTP 413, STATUS r4).
+    def loss_inline(trainable_p, frozen_p, batch, noise, timesteps):
+        params = combine_params(trainable_p, frozen_p)
         context = fstext.apply({"params": params["fstext"]},
                                batch["clip_emb"])
         latents = batch["latents"]
@@ -240,24 +243,25 @@ def main():
                          - noise.astype(jnp.float32)) ** 2)
 
     @jax.jit
-    def grad_only(params, batch, rng):
+    def grad_only(params, frozen_p, batch, rng):
         k_noise, k_t = jax.random.split(rng)
         latents = batch["latents"]
         noise = jax.random.normal(k_noise, latents.shape,
                                   jnp.float32).astype(latents.dtype)
         timesteps = jax.random.randint(k_t, (latents.shape[0],), 0, 1000)
-        loss, g = jax.value_and_grad(loss_inline)(params, batch, noise,
-                                                  timesteps)
+        loss, g = jax.value_and_grad(loss_inline)(params, frozen_p, batch,
+                                                  noise, timesteps)
         return loss, g
 
     grad_ms = None
     try:
-        l, g = grad_only(state.params, batch, jax.random.PRNGKey(1))
+        l, g = grad_only(state.params, frozen, batch, jax.random.PRNGKey(1))
         float(l)
         ts = []
         for i in range(3):
             t0 = time.perf_counter()
-            l, g = grad_only(state.params, batch, jax.random.PRNGKey(2 + i))
+            l, g = grad_only(state.params, frozen, batch,
+                             jax.random.PRNGKey(2 + i))
             float(l)
             ts.append(time.perf_counter() - t0)
         grad_ms = float(np.median(ts)) * 1e3
