@@ -146,19 +146,11 @@ def main() -> None:
             pab_ranges = (2, 6, 4)
         m_unet = build_unet(cfg)
         tables = schedule.ddim_tables(steps, eta=0.0)
-        pab = None
+        pab_schedule = None
         if pab_ranges:
             pab_schedule = build_pab_schedule(
                 len(tables.timesteps),
                 PABConfig(*pab_ranges))
-
-            def pab_apply(x, t, ctx, cf, st, flags):
-                out, mut = m_unet.apply({"params": unet_params, "pab": st},
-                                        x, t, ctx, cf, pab=flags,
-                                        mutable=["pab"])
-                return out, mut["pab"]
-
-            pab = (*pab_schedule, pab_apply)
 
         def fn(unet_params, fstext_params, x_T, x0_emb, clip_emb):
             context = fstext.apply({"params": fstext_params}, clip_emb)
@@ -167,6 +159,20 @@ def main() -> None:
 
             def unet_apply(x, t, ctx, cf):
                 return m_unet.apply({"params": unet_params}, x, t, ctx, cf)
+
+            pab = None
+            if pab_schedule is not None:
+                # pab_apply must close over fn's TRACED unet_params, not
+                # the host tree — a make_fn-level closure bakes the 2.2 GB
+                # bf16 param tree into the program as constants and the
+                # relay rejects the module (broken pipe, /tmp/qprobe.log)
+                def pab_apply(x, t, ctx, cf, st, flags):
+                    out, mut = m_unet.apply(
+                        {"params": unet_params, "pab": st},
+                        x, t, ctx, cf, pab=flags, mutable=["pab"])
+                    return out, mut["pab"]
+
+                pab = (*pab_schedule, pab_apply)
 
             return loop(
                 unet_apply, x_T, tables, context, x0_emb=x0_emb,
