@@ -163,7 +163,13 @@ def main():
     parser.add_argument("--cond_frames", type=int, default=2)
     parser.add_argument("--json", action="store_true")
     parser.add_argument("--skip_sites", action="store_true")
+    parser.add_argument("--sections", default="1,2,3,4",
+                        help="comma list of sections to run (1=batch "
+                             "layouts, 2=remat, 3=optimizer, 4=sites) — "
+                             "resume after a relay failure without "
+                             "re-measuring completed sections")
     args = parser.parse_args()
+    sections = {s.strip() for s in args.sections.split(",")}
     enable_compilation_cache()
     from seervideoldm_tpu.utils.cache import set_compile_effort
 
@@ -174,9 +180,9 @@ def main():
     out = {"resolution": args.resolution, "frames": f}
 
     # ---- 1. batch/accum layouts at fixed global batch 2 ----
-    print("== whole-step timings (save_attn remat) ==", flush=True)
     step_ms = {}
-    for b in (1, 2, 4):
+    print("== whole-step timings (save_attn remat) ==", flush=True)
+    for b in (1, 2, 4) if "1" in sections else ():
         try:
             _, state, step, batch, _, _ = build_step(
                 b, f, f1, latent, "save_attn")
@@ -199,7 +205,7 @@ def main():
     # ---- 2. remat recompute cost (b=1) ----
     print("== remat policies (b=1) ==", flush=True)
     remat_ms = {}
-    for remat in ("save_attn", "block", "none"):
+    for remat in ("save_attn", "block", "none") if "2" in sections else ():
         try:
             _, state, step, batch, _, _ = build_step(1, f, f1, latent, remat)
             dt = time_step(step, state, batch)
@@ -213,72 +219,73 @@ def main():
 
     # ---- 3. optimizer + EMA cost: step minus grad-only ----
     print("== optimizer/EMA cost ==", flush=True)
-    models, state, step, batch, trainable, frozen = build_step(
-        1, f, f1, latent, "save_attn")
-    base = time_step(step, state, batch)
-    # grad-only executable: the SAME loss semantics as make_train_step
-    # (trainer.py:148-202, epsilon target, partitioned params) built inline
-    # from the same primitives, jitted WITHOUT the optax/optimizer/EMA
-    # apply — the delta prices the per-step optimizer + state-update cost.
-    from seervideoldm_tpu.diffusion.ddpm import add_noise
-    from seervideoldm_tpu.diffusion.schedules import DiffusionSchedule
-    from seervideoldm_tpu.training.trainer import combine_params
+    if "3" in sections:
+        models, state, step, batch, trainable, frozen = build_step(
+            1, f, f1, latent, "save_attn")
+        base = time_step(step, state, batch)
+        # grad-only executable: the SAME loss semantics as make_train_step
+        # (trainer.py:148-202, epsilon target, partitioned params) built inline
+        # from the same primitives, jitted WITHOUT the optax/optimizer/EMA
+        # apply — the delta prices the per-step optimizer + state-update cost.
+        from seervideoldm_tpu.diffusion.ddpm import add_noise
+        from seervideoldm_tpu.diffusion.schedules import DiffusionSchedule
+        from seervideoldm_tpu.training.trainer import combine_params
 
-    acp = jnp.asarray(DiffusionSchedule.sd15_train_schedule().alphas_cumprod)
-    unet, fstext = models.unet, models.fstext
+        acp = jnp.asarray(DiffusionSchedule.sd15_train_schedule().alphas_cumprod)
+        unet, fstext = models.unet, models.fstext
 
-    # frozen params are an ARGUMENT, not a closure capture: capturing the
-    # 860M-param frozen tree bakes ~3.4 GB of constants into the program —
-    # the relay tunnel rejects modules that large (HTTP 413, STATUS r4).
-    def loss_inline(trainable_p, frozen_p, batch, noise, timesteps):
-        params = combine_params(trainable_p, frozen_p)
-        context = fstext.apply({"params": params["fstext"]},
-                               batch["clip_emb"])
-        latents = batch["latents"]
-        noisy = add_noise(acp, latents, noise, timesteps)
-        x_in = jnp.concatenate([batch["latents_x0"], noisy], axis=1)
-        pred = unet.apply({"params": params["unet"]}, x_in, timesteps,
-                          context, f1)[:, f1:]
-        return jnp.mean((pred.astype(jnp.float32)
-                         - noise.astype(jnp.float32)) ** 2)
+        # frozen params are an ARGUMENT, not a closure capture: capturing the
+        # 860M-param frozen tree bakes ~3.4 GB of constants into the program —
+        # the relay tunnel rejects modules that large (HTTP 413, STATUS r4).
+        def loss_inline(trainable_p, frozen_p, batch, noise, timesteps):
+            params = combine_params(trainable_p, frozen_p)
+            context = fstext.apply({"params": params["fstext"]},
+                                   batch["clip_emb"])
+            latents = batch["latents"]
+            noisy = add_noise(acp, latents, noise, timesteps)
+            x_in = jnp.concatenate([batch["latents_x0"], noisy], axis=1)
+            pred = unet.apply({"params": params["unet"]}, x_in, timesteps,
+                              context, f1)[:, f1:]
+            return jnp.mean((pred.astype(jnp.float32)
+                             - noise.astype(jnp.float32)) ** 2)
 
-    @jax.jit
-    def grad_only(params, frozen_p, batch, rng):
-        k_noise, k_t = jax.random.split(rng)
-        latents = batch["latents"]
-        noise = jax.random.normal(k_noise, latents.shape,
-                                  jnp.float32).astype(latents.dtype)
-        timesteps = jax.random.randint(k_t, (latents.shape[0],), 0, 1000)
-        loss, g = jax.value_and_grad(loss_inline)(params, frozen_p, batch,
-                                                  noise, timesteps)
-        return loss, g
+        @jax.jit
+        def grad_only(params, frozen_p, batch, rng):
+            k_noise, k_t = jax.random.split(rng)
+            latents = batch["latents"]
+            noise = jax.random.normal(k_noise, latents.shape,
+                                      jnp.float32).astype(latents.dtype)
+            timesteps = jax.random.randint(k_t, (latents.shape[0],), 0, 1000)
+            loss, g = jax.value_and_grad(loss_inline)(params, frozen_p, batch,
+                                                      noise, timesteps)
+            return loss, g
 
-    grad_ms = None
-    try:
-        l, g = grad_only(state.params, frozen, batch, jax.random.PRNGKey(1))
-        float(l)
-        ts = []
-        for i in range(3):
-            t0 = time.perf_counter()
-            l, g = grad_only(state.params, frozen, batch,
-                             jax.random.PRNGKey(2 + i))
+        grad_ms = None
+        try:
+            l, g = grad_only(state.params, frozen, batch, jax.random.PRNGKey(1))
             float(l)
-            ts.append(time.perf_counter() - t0)
-        grad_ms = float(np.median(ts)) * 1e3
-    except Exception as e:
-        print(f"grad-only probe failed: {type(e).__name__}: {str(e)[:150]}",
-              flush=True)
-    out["step_ms"] = round(base * 1e3, 1)
-    if grad_ms is not None:
-        out["grad_only_ms"] = round(grad_ms, 1)
-        out["optimizer_ema_ms"] = round(base * 1e3 - grad_ms, 1)
-        print(f"full step {base*1e3:.1f} ms, grad-only {grad_ms:.1f} ms, "
-              f"optimizer+state update = {base*1e3-grad_ms:.1f} ms",
-              flush=True)
-    del state, step, batch
+            ts = []
+            for i in range(3):
+                t0 = time.perf_counter()
+                l, g = grad_only(state.params, frozen, batch,
+                                 jax.random.PRNGKey(2 + i))
+                float(l)
+                ts.append(time.perf_counter() - t0)
+            grad_ms = float(np.median(ts)) * 1e3
+        except Exception as e:
+            print(f"grad-only probe failed: {type(e).__name__}: {str(e)[:150]}",
+                  flush=True)
+        out["step_ms"] = round(base * 1e3, 1)
+        if grad_ms is not None:
+            out["grad_only_ms"] = round(grad_ms, 1)
+            out["optimizer_ema_ms"] = round(base * 1e3 - grad_ms, 1)
+            print(f"full step {base*1e3:.1f} ms, grad-only {grad_ms:.1f} ms, "
+                  f"optimizer+state update = {base*1e3-grad_ms:.1f} ms",
+                  flush=True)
+        del state, step, batch
 
     # ---- 4. per-site fwd+bwd vs floors ----
-    if not args.skip_sites:
+    if not args.skip_sites and "4" in sections:
         print("== per-site fwd+bwd (no remat; b=1 shapes) ==", flush=True)
         from seervideoldm_tpu.models.resnet3d import ResnetBlock3D
         from seervideoldm_tpu.models.transformer3d import SpatialTransformer3D
