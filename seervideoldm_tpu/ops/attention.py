@@ -158,6 +158,27 @@ def _split_heads(x: jnp.ndarray, heads: int) -> jnp.ndarray:
     return _tp_constrain(x, 1)
 
 
+class _DenseShellParams(nn.Module):
+    """Parameter container matching ``nn.Dense``'s tree (kernel[, bias]) and
+    default initializers (same path -> same init RNG draws) for paths that
+    consume the raw kernels — e.g. the fused single-read QKV matmul."""
+
+    in_features: int
+    features: int
+    use_bias: bool = False
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.in_features, self.features), self.param_dtype)
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,),
+                           self.param_dtype)
+                if self.use_bias else None)
+        return kernel, bias
+
+
 def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
     """(b, h, n, d) -> (b, n, h*d); merged features stay 'model'-sharded
     under TP (to_out_0's kernel is P('model', None) — local contraction +
@@ -293,9 +314,40 @@ class WindowTemporalAttention(nn.Module):
             feats, use_bias=use_bias, dtype=self.dtype, param_dtype=self.param_dtype, name=name
         )
         hidden = x.reshape(b, n, c)
-        q = _split_heads(dense(inner_dim, "to_q", self.bias)(hidden), self.heads)
-        k = _split_heads(dense(inner_dim, "to_k", self.bias)(hidden), self.heads)
-        v = _split_heads(dense(inner_dim, "to_v", self.bias)(hidden), self.heads)
+        from .pallas import get_activation_mesh
+
+        if get_activation_mesh() is None:
+            # Self-attention QKV as ONE matmul against the concatenated
+            # kernels: three separate nn.Dense calls each stream the full
+            # (b, n, c) hidden tensor from HBM; the fused form reads it
+            # once (the weight concat is loop-invariant — LICM hoists it
+            # out of the sampling scan).  Param tree unchanged
+            # (to_q/to_k/to_v kernels), so checkpoints and the converter
+            # are unaffected; the math is the same dot, column-
+            # partitioned.  Under any registered mesh the separate-Dense
+            # form stays: a contiguous P(None, 'model') sharding of the
+            # concatenated kernel has no zero-comm split (the GEGLU
+            # Megatron-layout lesson, transformer3d.py::GEGLU).
+            shells = [_DenseShellParams(c, inner_dim, self.bias,
+                                        self.param_dtype, name=nm)()
+                      for nm in ("to_q", "to_k", "to_v")]
+            ws_ = [s[0] for s in shells]
+            hidden_p, *ws_ = nn.dtypes.promote_dtype(hidden, *ws_,
+                                                     dtype=self.dtype)
+            qkv = hidden_p @ jnp.concatenate(ws_, axis=1)
+            if self.bias:
+                bs_ = jnp.concatenate(
+                    [s[1] for s in shells]).astype(qkv.dtype)
+                qkv = qkv + bs_
+            q, k, v = (_split_heads(t, self.heads)
+                       for t in jnp.split(qkv, 3, axis=-1))
+        else:
+            q = _split_heads(dense(inner_dim, "to_q", self.bias)(hidden),
+                             self.heads)
+            k = _split_heads(dense(inner_dim, "to_k", self.bias)(hidden),
+                             self.heads)
+            v = _split_heads(dense(inner_dim, "to_v", self.bias)(hidden),
+                             self.heads)
 
         rot_dim = min(32, self.dim_head)
         ws = select_window_size(h)
