@@ -168,8 +168,14 @@ def main():
                              "layouts, 2=remat, 3=optimizer, 4=sites) — "
                              "resume after a relay failure without "
                              "re-measuring completed sections")
+    parser.add_argument("--batches", default="1,2,4",
+                        help="section-1 batch sizes")
+    parser.add_argument("--remat", default="save_attn",
+                        help="section-1 remat policy (section 2 sweeps its "
+                             "own)")
     args = parser.parse_args()
     sections = {s.strip() for s in args.sections.split(",")}
+    batches = [int(x) for x in args.batches.split(",") if x.strip()]
     enable_compilation_cache()
     from seervideoldm_tpu.utils.cache import set_compile_effort
 
@@ -181,11 +187,11 @@ def main():
 
     # ---- 1. batch/accum layouts at fixed global batch 2 ----
     step_ms = {}
-    print("== whole-step timings (save_attn remat) ==", flush=True)
-    for b in (1, 2, 4) if "1" in sections else ():
+    print(f"== whole-step timings ({args.remat} remat) ==", flush=True)
+    for b in batches if "1" in sections else ():
         try:
             _, state, step, batch, _, _ = build_step(
-                b, f, f1, latent, "save_attn")
+                b, f, f1, latent, args.remat)
             dt = time_step(step, state, batch)
             step_ms[b] = dt * 1e3
             print(f"b={b}: {dt*1e3:8.1f} ms/step  "
