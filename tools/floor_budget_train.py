@@ -229,66 +229,71 @@ def main():
         models, state, step, batch, trainable, frozen = build_step(
             1, f, f1, latent, "save_attn")
         base = time_step(step, state, batch)
-        # grad-only executable: the SAME loss semantics as make_train_step
-        # (trainer.py:148-202, epsilon target, partitioned params) built inline
-        # from the same primitives, jitted WITHOUT the optax/optimizer/EMA
-        # apply — the delta prices the per-step optimizer + state-update cost.
-        from seervideoldm_tpu.diffusion.ddpm import add_noise
-        from seervideoldm_tpu.diffusion.schedules import DiffusionSchedule
-        from seervideoldm_tpu.training.trainer import combine_params
+        # Free EVERYTHING from the step before the probe: with the fp32
+        # masters + Adam moments + frozen tree + executables resident,
+        # the next allocation on the 16 GB chip dies — through the relay
+        # the OOM surfaces as an opaque "TPU backend error
+        # (InvalidArgument)" on every subsequent dispatch.  The probe
+        # rebuilds only the trees it needs (6.4 GB peak) from shapes.
+        import gc
 
-        acp = jnp.asarray(DiffusionSchedule.sd15_train_schedule().alphas_cumprod)
-        unet, fstext = models.unet, models.fstext
+        tshapes = jax.eval_shape(lambda t: t, trainable)
+        del models, state, step, batch, trainable, frozen
+        gc.collect()
+        # Optimizer + state-update cost measured DIRECTLY: a jitted
+        # tx.update → apply_updates → global_norm over the real 406M-param
+        # trainable tree with a synthetic gradient tree.  (A step-minus-
+        # grad-only subtraction was tried first; the second 860M-backward
+        # executable dies in the relay with an opaque TPU InvalidArgument
+        # even with scalar-reduced outputs, while the full train step —
+        # identical backward, same output sizes — runs fine.  The direct
+        # probe is the cleaner number anyway: no subtraction noise, and it
+        # prices exactly the elementwise Adam/clip/global-norm walk that
+        # the table's "optimizer" row means.)
+        import optax
 
-        # frozen params are an ARGUMENT, not a closure capture: capturing the
-        # 860M-param frozen tree bakes ~3.4 GB of constants into the program —
-        # the relay tunnel rejects modules that large (HTTP 413, STATUS r4).
-        def loss_inline(trainable_p, frozen_p, batch, noise, timesteps):
-            params = combine_params(trainable_p, frozen_p)
-            context = fstext.apply({"params": params["fstext"]},
-                                   batch["clip_emb"])
-            latents = batch["latents"]
-            noisy = add_noise(acp, latents, noise, timesteps)
-            x_in = jnp.concatenate([batch["latents_x0"], noisy], axis=1)
-            pred = unet.apply({"params": params["unet"]}, x_in, timesteps,
-                              context, f1)[:, f1:]
-            return jnp.mean((pred.astype(jnp.float32)
-                             - noise.astype(jnp.float32)) ** 2)
+        from seervideoldm_tpu.training.optim import build_optimizer
 
-        @jax.jit
-        def grad_only(params, frozen_p, batch, rng):
-            k_noise, k_t = jax.random.split(rng)
-            latents = batch["latents"]
-            noise = jax.random.normal(k_noise, latents.shape,
-                                      jnp.float32).astype(latents.dtype)
-            timesteps = jax.random.randint(k_t, (latents.shape[0],), 0, 1000)
-            loss, g = jax.value_and_grad(loss_inline)(params, frozen_p, batch,
-                                                      noise, timesteps)
-            return loss, g
-
-        grad_ms = None
+        opt_ms = None
         try:
-            l, g = grad_only(state.params, frozen, batch, jax.random.PRNGKey(1))
-            float(l)
+            params = jax.jit(
+                lambda: jax.tree.map(
+                    lambda s: jnp.full(s.shape, 1e-2, s.dtype), tshapes))()
+            grads = jax.jit(
+                lambda: jax.tree.map(
+                    lambda s: jnp.full(s.shape, 1e-4, s.dtype), tshapes))()
+            tx2, _ = build_optimizer(params, 1e-4, warmup_steps=1,
+                                     total_steps=1000, partitioned=True)
+            opt_state = jax.jit(tx2.init)(params)
+
+            @jax.jit
+            def opt_apply(params, opt_state, grads):
+                updates, opt_state = tx2.update(grads, opt_state, params)
+                new_params = optax.apply_updates(params, updates)
+                return new_params, opt_state, optax.global_norm(grads)
+
+            p2, o2, gn = opt_apply(params, opt_state, grads)
+            float(gn)
             ts = []
             for i in range(3):
                 t0 = time.perf_counter()
-                l, g = grad_only(state.params, frozen, batch,
-                                 jax.random.PRNGKey(2 + i))
-                float(l)
+                p2, o2, gn = opt_apply(params, opt_state, grads)
+                float(gn)
                 ts.append(time.perf_counter() - t0)
-            grad_ms = float(np.median(ts)) * 1e3
+            opt_ms = float(np.median(ts)) * 1e3
+            del p2, o2, grads, params, opt_state
         except Exception as e:
-            print(f"grad-only probe failed: {type(e).__name__}: {str(e)[:150]}",
+            import traceback
+
+            traceback.print_exc()
+            print(f"opt-apply probe failed: {type(e).__name__}: {str(e)[:600]}",
                   flush=True)
         out["step_ms"] = round(base * 1e3, 1)
-        if grad_ms is not None:
-            out["grad_only_ms"] = round(grad_ms, 1)
-            out["optimizer_ema_ms"] = round(base * 1e3 - grad_ms, 1)
-            print(f"full step {base*1e3:.1f} ms, grad-only {grad_ms:.1f} ms, "
-                  f"optimizer+state update = {base*1e3-grad_ms:.1f} ms",
-                  flush=True)
-        del state, step, batch
+        if opt_ms is not None:
+            out["optimizer_ema_ms"] = round(opt_ms, 1)
+            print(f"full step {base*1e3:.1f} ms, optimizer/clip/state update "
+                  f"(direct jitted probe, 406M fp32 + Adam) = {opt_ms:.1f} ms "
+                  f"({opt_ms/(base*1e3)*100:.1f}% of the step)", flush=True)
 
     # ---- 4. per-site fwd+bwd vs floors ----
     if not args.skip_sites and "4" in sections:
